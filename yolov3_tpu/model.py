@@ -1,0 +1,190 @@
+"""Functional NHWC forward pass: one graph walk → one jitted XLA computation.
+
+The reference's ``Darknet.forward`` (SURVEY.md §3.4) iterates ~106 ``nn.Module``
+objects per step in Python, caching *every* layer output for route/shortcut.
+Here the lowered :class:`~yolov3_tpu.graph.Graph` is walked **once at trace
+time** by a pure function; XLA sees a single static computation with:
+
+* convs as ``lax.conv_general_dilated`` NHWC/HWIO (MXU-tiled by XLA), bias and
+  LeakyReLU fused into the conv epilogue by XLA;
+* BN already folded into conv weights at load (``weights.py``) — no BN ops;
+* route = channel concat, shortcut = elementwise add, upsample = nearest ×2
+  via ``jnp.repeat`` (bit-identical to ``nn.Upsample(mode="nearest")``);
+* only outputs on a route/shortcut/head edge are kept live (``Graph.
+  needed_outputs``) — the rest are free for XLA to schedule/fuse away.
+
+Precision: TPU matmul/conv default passes use bf16 multiplies, which breaks
+the IoU>0.99 parity contract (SURVEY.md §7 phase 2). ``precision="highest"``
+pins fp32 convs for parity; ``precision=None`` (default) lets XLA pick the
+fast path for throughput.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .graph import Graph, Node
+from .ops.decode import decode_all
+
+_PRECISIONS = {
+    None: None,
+    "default": None,
+    "high": lax.Precision.HIGH,
+    "highest": lax.Precision.HIGHEST,
+}
+
+
+def _conv(x: jax.Array, w: jax.Array, b: jax.Array, node: Node,
+          precision) -> jax.Array:
+    pad = node.size // 2 if node.pad else 0
+    y = lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(node.stride, node.stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+    )
+    y = y + b.astype(y.dtype)
+    if node.activation == "leaky":
+        y = jnp.where(y > 0, y, 0.1 * y)
+    elif node.activation == "relu":
+        y = jnp.maximum(y, 0)
+    elif node.activation != "linear":
+        raise ValueError(f"unsupported activation {node.activation!r}")
+    return y
+
+
+def _maxpool(x: jax.Array, node: Node) -> jax.Array:
+    # darknet rule: total pad = node.padding (default size-1), low = pad//2.
+    lo = node.padding // 2
+    hi = node.padding - lo
+    neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+    return lax.reduce_window(
+        x, neg_inf, lax.max,
+        window_dimensions=(1, node.size, node.size, 1),
+        window_strides=(1, node.stride, node.stride, 1),
+        padding=((0, 0), (lo, hi), (lo, hi), (0, 0)),
+    )
+
+
+def _upsample_nearest(x: jax.Array, stride: int) -> jax.Array:
+    return jnp.repeat(jnp.repeat(x, stride, axis=1), stride, axis=2)
+
+
+def forward_features(
+    graph: Graph,
+    params: Dict[int, Dict[str, jax.Array]],
+    x: jax.Array,
+    precision: Optional[str] = None,
+) -> List[jax.Array]:
+    """Walk the graph; return the raw NHWC feature map feeding each yolo head.
+
+    ``x``: (B, H, W, C) float input in [0, 1].
+    """
+    prec = _PRECISIONS[precision]
+    needed = graph.needed_outputs
+    cache: Dict[int, jax.Array] = {}
+    heads: List[jax.Array] = []
+    prev: jax.Array = x
+    for node in graph.nodes:
+        if node.kind == "convolutional":
+            p = params[node.index]
+            out = _conv(prev, p["w"], p["b"], node, prec)
+        elif node.kind == "maxpool":
+            out = _maxpool(prev, node)
+        elif node.kind == "upsample":
+            out = _upsample_nearest(prev, node.stride)
+        elif node.kind == "shortcut":
+            out = prev + cache[node.inputs[1]]
+        elif node.kind == "route":
+            srcs = [prev if i == node.index - 1 else cache[i] for i in node.inputs]
+            out = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
+        elif node.kind == "yolo":
+            heads.append(prev)
+            out = prev
+        else:  # pragma: no cover - lower() already validates kinds
+            raise ValueError(node.kind)
+        if node.index in needed:
+            cache[node.index] = out
+        prev = out
+    return heads
+
+
+def forward(
+    graph: Graph,
+    params: Dict[int, Dict[str, jax.Array]],
+    x: jax.Array,
+    precision: Optional[str] = None,
+) -> jax.Array:
+    """Full decoded forward: (B, H, W, C) → (B, N, 5+C) net-pixel detections.
+
+    Matches the reference ``Darknet.forward`` output contract
+    (SURVEY.md §2.4): center-xywh in network-input pixels, sigmoid objectness
+    and class scores, heads concatenated coarse→fine in cfg order.
+    """
+    heads = forward_features(graph, params, x, precision)
+    yolo_nodes = graph.yolo_nodes
+    return decode_all(
+        heads,
+        [n.anchors for n in yolo_nodes],
+        list(graph.head_strides()),
+        yolo_nodes[0].classes,
+    )
+
+
+class Darknet:
+    """Thin stateful wrapper mirroring the reference's ``Darknet`` API
+    (``yolov3/darknet.py::Darknet``, SURVEY.md §2.4): construct from a cfg
+    path, ``load_weights()``, call on a batch. Jitted executables are cached
+    per (input shape, dtype) — multi-resolution support (320/416/608) falls
+    out of re-jit + cache (SURVEY.md §5.7)."""
+
+    def __init__(self, cfg_path, precision: Optional[str] = None,
+                 param_dtype: jnp.dtype = jnp.float32):
+        from .graph import load_graph
+
+        self.graph = load_graph(cfg_path)
+        self.precision = precision
+        self.param_dtype = jnp.dtype(param_dtype)
+        self.params: Optional[Dict[int, Dict[str, jax.Array]]] = None
+        self._jitted = {}
+
+    @property
+    def num_classes(self) -> int:
+        return self.graph.yolo_nodes[0].classes
+
+    @property
+    def net_size(self) -> Tuple[int, int]:
+        return (self.graph.in_height, self.graph.in_width)
+
+    def load_weights(self, weights_path) -> "Darknet":
+        from .weights import load_weights
+
+        host = load_weights(weights_path, self.graph)
+        self.params = jax.tree.map(
+            lambda a: jnp.asarray(a, dtype=self.param_dtype), host
+        )
+        return self
+
+    def set_params(self, params) -> "Darknet":
+        self.params = jax.tree.map(
+            lambda a: jnp.asarray(a, dtype=self.param_dtype), params
+        )
+        return self
+
+    def _fn(self, shape, dtype):
+        key = (tuple(shape), jnp.dtype(dtype).name)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                partial(forward, self.graph, precision=self.precision)
+            )
+        return self._jitted[key]
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.params is None:
+            raise RuntimeError("call load_weights()/set_params() first")
+        return self._fn(x.shape, x.dtype)(self.params, x)

@@ -1,0 +1,67 @@
+"""YOLO head decode: raw conv feature map → (cx, cy, w, h, obj, class...) boxes.
+
+Reference behavior (SURVEY.md §2.6, ``yolov3/darknet.py`` yolo decode): per
+head, view the ``(B, A*(5+C), g, g)`` map per-anchor, apply
+``sigmoid(tx, ty)`` plus the cell's grid offset and multiply by the detection
+stride, ``exp(tw, th) * anchor`` (anchors are in network-input pixels), and
+``sigmoid`` on objectness and class scores. Output coordinates are center-xywh
+in network-input pixel space; heads concatenate to ``(B, ΣA·g², 5+C)``.
+
+TPU design: our feature maps are NHWC ``(B, g, g, A*(5+C))`` so the reshape to
+``(B, g, g, A, 5+C)`` is free (last-axis split). The whole decode is a single
+fused elementwise pass over the map — XLA fuses it into the producing conv's
+epilogue. A Pallas fused-decode kernel (``impl="pallas"``) covers the case
+where we want decode + score-threshold fused in one VMEM pass (see
+``ops/pallas_decode.py``).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def decode_head(
+    feat: jax.Array,
+    anchors: Tuple[Tuple[float, float], ...],
+    stride: int,
+    num_classes: int,
+) -> jax.Array:
+    """Decode one head's raw NHWC map to ``(B, g*g*A, 5+C)`` net-pixel boxes.
+
+    ``feat``: (B, gy, gx, A*(5+C)) raw conv output.
+    ``stride``: net-input pixels per grid cell (net_size / g).
+    """
+    b, gy, gx, _ = feat.shape
+    a = len(anchors)
+    c = num_classes
+    f = feat.reshape(b, gy, gx, a, 5 + c)
+
+    # grid cell offsets — broadcasted iota keeps everything ≥2D for TPU
+    col = jax.lax.broadcasted_iota(f.dtype, (gy, gx, a), 1)
+    row = jax.lax.broadcasted_iota(f.dtype, (gy, gx, a), 0)
+
+    anchor_wh = jnp.asarray(anchors, dtype=f.dtype)  # (A, 2), net-input px
+
+    xy = (jax.nn.sigmoid(f[..., 0:2])
+          + jnp.stack([col, row], axis=-1)) * jnp.asarray(stride, f.dtype)
+    wh = jnp.exp(f[..., 2:4]) * anchor_wh  # broadcast (A,2) over (b,gy,gx,A,2)
+    conf = jax.nn.sigmoid(f[..., 4:])  # objectness + classes in one sigmoid
+
+    out = jnp.concatenate([xy, wh, conf], axis=-1)
+    return out.reshape(b, gy * gx * a, 5 + c)
+
+
+def decode_all(
+    feats: Sequence[jax.Array],
+    anchors_per_head: Sequence[Tuple[Tuple[float, float], ...]],
+    strides: Sequence[int],
+    num_classes: int,
+) -> jax.Array:
+    """Decode every head and concatenate to ``(B, N, 5+C)`` (reference layout)."""
+    decoded = [
+        decode_head(f, a, s, num_classes)
+        for f, a, s in zip(feats, anchors_per_head, strides)
+    ]
+    return jnp.concatenate(decoded, axis=1)
