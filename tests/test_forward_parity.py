@@ -1,0 +1,197 @@
+"""Forward parity: JAX pipeline vs the in-repo torch reference harness
+(SURVEY.md §4.4 — the north-star test, on synthetic weights).
+
+Same raw darknet params + same input → decoded detections must agree to fp32
+tolerance. Runs on CPU JAX with precision="highest" (SURVEY.md §7 phase 2:
+TPU bf16 conv passes would break parity; parity mode pins fp32).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from yolov3_tpu.config import parse_config_text
+from yolov3_tpu.graph import load_graph, lower
+from yolov3_tpu.model import Darknet, forward, forward_features
+from yolov3_tpu.weights import fold_raw, random_raw
+
+from tools.torch_ref import TorchDarknet, torch_forward
+
+MICRO_CFG = """
+[net]
+width=64
+height=64
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=1
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[shortcut]
+from=-3
+activation=linear
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=1
+
+[convolutional]
+filters=12
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask = 0,1
+anchors = 10,13, 30,61
+classes=1
+num=2
+
+[route]
+layers = -4
+
+[upsample]
+stride=2
+
+[route]
+layers = -1, 3
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+filters=12
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask = 0,1
+anchors = 10,13, 30,61
+classes=1
+num=2
+"""
+
+
+def _compare(graph, seed, size, batch=1, atol=1e-3):
+    raw = random_raw(graph, seed=seed)
+    rng = np.random.default_rng(seed + 100)
+    x = rng.uniform(0, 1, (batch, 3, size, size)).astype(np.float32)
+
+    ref = torch_forward(graph, raw, x)
+
+    params = fold_raw(raw)
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    ours = np.asarray(forward(graph, params, x_nhwc, precision="highest"))
+
+    assert ours.shape == ref.shape
+    # wh is exp-scaled (unbounded) → rtol carries it; xy/conf → atol.
+    np.testing.assert_allclose(ours, ref, atol=atol, rtol=5e-4)
+    return ours
+
+
+def test_micro_graph_parity():
+    """Covers every layer kind incl. stride-1 maxpool, 2-way route, shortcut,
+    upsample, two heads, no-BN linear head convs."""
+    g = lower(parse_config_text(MICRO_CFG))
+    out = _compare(g, seed=0, size=64, batch=2)
+    # two heads: 16x16 (stride 4) and 32x32 (stride 2) grids, 2 anchors
+    assert out.shape == (2, 2 * (16 * 16 + 32 * 32), 6)
+
+
+def test_yolov3_tiny_parity_416(cfg_paths):
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    out = _compare(g, seed=1, size=416)
+    assert out.shape == (1, 2535, 85)
+
+
+@pytest.mark.slow
+def test_yolov3_full_parity_608(cfg_paths):
+    g = load_graph(cfg_paths["yolov3"])
+    out = _compare(g, seed=2, size=608)
+    assert out.shape == (1, 22743, 85)
+
+
+@pytest.mark.slow
+def test_yolov3_spp_parity_416(cfg_paths):
+    g = load_graph(cfg_paths["yolov3-spp"])
+    out = _compare(g, seed=3, size=416)
+    assert out.shape == (1, 10647, 85)
+
+
+def test_multi_resolution_same_params(cfg_paths):
+    """Fully-convolutional: the same tiny params run at 320 and 608
+    (SURVEY.md §5.7 — resolution is the scale axis)."""
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    for size, n in ((320, 1500), (608, 5415)):
+        out = _compare(g, seed=4, size=size)
+        assert out.shape == (1, n, 85)
+
+
+def test_decoded_ranges(cfg_paths):
+    """Decode sanity: xy within net input, confidences in (0,1)."""
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    raw = random_raw(g, seed=5)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 416, 416, 3)).astype(np.float32)
+    out = np.asarray(forward(g, fold_raw(raw), jnp.asarray(x)))
+    assert (out[..., 0] >= 0).all() and (out[..., 0] <= 416).all()
+    assert (out[..., 1] >= 0).all() and (out[..., 1] <= 416).all()
+    assert (out[..., 2:4] > 0).all()
+    assert (out[..., 4:] >= 0).all() and (out[..., 4:] <= 1).all()
+
+
+def test_darknet_wrapper_api(cfg_paths, tmp_path):
+    """Reference-mirroring API: Darknet(cfg).load_weights(path) then call."""
+    from yolov3_tpu.weights import write_weights
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    raw = random_raw(g, seed=6)
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, raw)
+
+    net = Darknet(cfg_paths["yolov3-tiny"], precision="highest")
+    net.load_weights(wpath)
+    assert net.net_size == (416, 416) and net.num_classes == 80
+
+    x = jnp.asarray(np.random.default_rng(1).uniform(
+        0, 1, (1, 416, 416, 3)).astype(np.float32))
+    out = np.asarray(net(x))
+    assert out.shape == (1, 2535, 85)
+
+    ref = torch_forward(g, raw, np.asarray(x).transpose(0, 3, 1, 2))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)

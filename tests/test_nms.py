@@ -1,0 +1,142 @@
+"""Batched NMS tests (SURVEY.md §4.3): against a pure-numpy greedy reference,
+plus property tests — class-awareness, no surviving same-class pair above the
+IoU threshold, permutation invariance, threshold behavior, top-K capping.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from yolov3_tpu.ops.nms import batched_nms, iou_matrix
+from yolov3_tpu.utils.boxes import cxywh_to_tlbr
+
+
+def numpy_reference_nms(det, prob_thresh, iou_thresh):
+    """Reference-style host NMS: per-class greedy loops (SURVEY.md §2.7)."""
+    obj = det[:, 4]
+    cls_prob = det[:, 5:].max(axis=1)
+    cls_idx = det[:, 5:].argmax(axis=1)
+    score = obj * cls_prob
+    keep_rows = score >= prob_thresh
+    boxes = cxywh_to_tlbr(det[:, :4])
+
+    def iou(a, b):
+        tl = np.maximum(a[:2], b[:2])
+        br = np.minimum(a[2:], b[2:])
+        wh = np.maximum(br - tl, 0)
+        inter = wh[0] * wh[1]
+        ua = max(a[2] - a[0], 0) * max(a[3] - a[1], 0)
+        ub = max(b[2] - b[0], 0) * max(b[3] - b[1], 0)
+        return inter / max(ua + ub - inter, 1e-9)
+
+    survivors = []
+    for c in np.unique(cls_idx[keep_rows]):
+        idxs = np.where(keep_rows & (cls_idx == c))[0]
+        idxs = idxs[np.argsort(-score[idxs], kind="stable")]
+        kept = []
+        for i in idxs:
+            if all(iou(boxes[i], boxes[j]) <= iou_thresh for j in kept):
+                kept.append(i)
+        survivors.extend(kept)
+    return {(tuple(np.round(boxes[i], 4)), int(cls_idx[i])) for i in survivors}
+
+
+def _result_set(res, b=0):
+    out = set()
+    for i in np.where(np.asarray(res.valid[b]))[0]:
+        out.add((tuple(np.round(np.asarray(res.boxes[b, i]), 4)),
+                 int(res.classes[b, i])))
+    return out
+
+
+def random_detections(rng, n=200, classes=6, size=416):
+    cx = rng.uniform(0, size, (n, 1))
+    cy = rng.uniform(0, size, (n, 1))
+    wh = rng.uniform(8, size / 3, (n, 2))
+    obj = rng.uniform(0, 1, (n, 1))
+    cls = rng.uniform(0, 1, (n, classes))
+    return np.concatenate([cx, cy, wh, obj, cls], axis=1).astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_matches_numpy_reference(seed):
+    rng = np.random.default_rng(seed)
+    det = random_detections(rng)
+    res = batched_nms(jnp.asarray(det[None]), prob_thresh=0.2, iou_thresh=0.4)
+    assert _result_set(res) == numpy_reference_nms(det, 0.2, 0.4)
+
+
+def test_no_same_class_overlap_survives():
+    rng = np.random.default_rng(7)
+    det = random_detections(rng, n=300, classes=3)
+    res = batched_nms(jnp.asarray(det[None]), prob_thresh=0.1, iou_thresh=0.3)
+    valid = np.where(np.asarray(res.valid[0]))[0]
+    boxes = np.asarray(res.boxes[0, valid])
+    classes = np.asarray(res.classes[0, valid])
+    iou = np.asarray(iou_matrix(jnp.asarray(boxes)))
+    same = classes[:, None] == classes[None, :]
+    off_diag = ~np.eye(len(valid), dtype=bool)
+    assert not np.any((iou > 0.3) & same & off_diag)
+
+
+def test_different_classes_not_suppressed():
+    """Two identical boxes of different classes both survive (class-aware)."""
+    det = np.zeros((2, 5 + 3), dtype=np.float32)
+    det[:, :4] = [100, 100, 50, 50]
+    det[:, 4] = 0.9
+    det[0, 5] = 0.9  # class 0
+    det[1, 6] = 0.8  # class 1
+    res = batched_nms(jnp.asarray(det[None]), prob_thresh=0.1, iou_thresh=0.3)
+    assert int(np.sum(np.asarray(res.valid))) == 2
+
+
+def test_same_class_duplicate_suppressed():
+    det = np.zeros((2, 5 + 3), dtype=np.float32)
+    det[:, :4] = [100, 100, 50, 50]
+    det[:, 4] = [0.9, 0.8]
+    det[:, 5] = 0.9
+    res = batched_nms(jnp.asarray(det[None]), prob_thresh=0.1, iou_thresh=0.3)
+    assert int(np.sum(np.asarray(res.valid))) == 1
+    # the higher-scoring one wins
+    assert np.asarray(res.scores).max() == pytest.approx(0.81, abs=1e-5)
+
+
+def test_permutation_invariance():
+    rng = np.random.default_rng(11)
+    det = random_detections(rng, n=150)
+    perm = rng.permutation(len(det))
+    r1 = batched_nms(jnp.asarray(det[None]), prob_thresh=0.2, iou_thresh=0.4)
+    r2 = batched_nms(jnp.asarray(det[perm][None]), prob_thresh=0.2, iou_thresh=0.4)
+    assert _result_set(r1) == _result_set(r2)
+
+
+def test_threshold_filters_everything():
+    rng = np.random.default_rng(13)
+    det = random_detections(rng)
+    det[:, 4] = 0.001  # objectness kills all scores
+    res = batched_nms(jnp.asarray(det[None]), prob_thresh=0.5, iou_thresh=0.3)
+    assert not np.any(np.asarray(res.valid))
+    assert np.all(np.asarray(res.scores) == 0)
+    assert np.all(np.asarray(res.classes) == -1)
+
+
+def test_top_k_cap_keeps_highest():
+    rng = np.random.default_rng(17)
+    det = random_detections(rng, n=64)
+    res = batched_nms(jnp.asarray(det[None]), prob_thresh=0.0,
+                      iou_thresh=1.1, top_k=8)  # iou>1.1 never suppresses
+    assert res.boxes.shape == (1, 8, 4)
+    score = det[:, 4] * det[:, 5:].max(1)
+    expected = np.sort(score)[-8:][::-1]
+    np.testing.assert_allclose(np.sort(np.asarray(res.scores[0]))[::-1],
+                               expected, rtol=1e-5)
+
+
+def test_batched_independence():
+    """Each batch element is NMS'd independently."""
+    rng = np.random.default_rng(19)
+    a, b = random_detections(rng), random_detections(rng)
+    batched = batched_nms(jnp.asarray(np.stack([a, b])), prob_thresh=0.2,
+                          iou_thresh=0.4)
+    single_a = batched_nms(jnp.asarray(a[None]), prob_thresh=0.2, iou_thresh=0.4)
+    assert _result_set(batched, 0) == _result_set(single_a, 0)

@@ -46,7 +46,9 @@ def decode_head(
 
     xy = (jax.nn.sigmoid(f[..., 0:2])
           + jnp.stack([col, row], axis=-1)) * jnp.asarray(stride, f.dtype)
-    wh = jnp.exp(f[..., 2:4]) * anchor_wh  # broadcast (A,2) over (b,gy,gx,A,2)
+    # clamp exp argument: fp32 exp overflows past ~88 and bf16 far earlier
+    # (SURVEY.md §7 hazard 2); 60 preserves ordering for any real weight file
+    wh = jnp.exp(jnp.minimum(f[..., 2:4], 60.0)) * anchor_wh
     conf = jax.nn.sigmoid(f[..., 4:])  # objectness + classes in one sigmoid
 
     out = jnp.concatenate([xy, wh, conf], axis=-1)

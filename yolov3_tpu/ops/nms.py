@@ -1,0 +1,108 @@
+"""Batched, static-shape, class-aware NMS — entirely on-device.
+
+The reference's ``yolov3/inference.py::non_max_suppression`` (SURVEY.md §2.7)
+runs per-image Python loops over unique class ids on the host — its slowest
+stage and the explicit point of attack in BASELINE.json's north star. Here the
+whole filter runs under jit with static shapes:
+
+1. score = objectness × max class prob; class = argmax (reference formula);
+2. threshold mask → per-image ``top_k`` (static K) candidates;
+3. dense K×K IoU matrix (one fused batched pass);
+4. exact greedy suppression in score order via ``lax.fori_loop`` (greedy NMS
+   is order-dependent and non-transitive, so the scan is semantically
+   required — each step is a tiny vectorized mask update);
+5. fixed-size output: (boxes_tlbr, scores, classes, valid) each padded to K.
+
+vmapped over the batch; no host sync until the caller pulls results.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class NMSResult(NamedTuple):
+    boxes: jax.Array   # (B, K, 4) tlbr, net-input pixels
+    scores: jax.Array  # (B, K) obj * class prob, 0 where invalid
+    classes: jax.Array  # (B, K) int32 class ids
+    valid: jax.Array   # (B, K) bool survivor mask
+
+
+def iou_matrix(boxes: jax.Array) -> jax.Array:
+    """Pairwise IoU of (K, 4) tlbr boxes → (K, K)."""
+    area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 0)
+    tl = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
+    br = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
+    wh = jnp.maximum(br - tl, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def _greedy_suppress(iou: jax.Array, same_class: jax.Array, valid: jax.Array,
+                     iou_thresh: float) -> jax.Array:
+    """Exact greedy NMS over score-desc-sorted candidates.
+
+    keep[i] ⇔ valid[i] and no kept j<i of the same class with IoU>τ —
+    identical semantics to the reference's per-class greedy loop.
+    """
+    k = iou.shape[0]
+    conflict = (iou > iou_thresh) & same_class  # (K, K), symmetric
+
+    def body(i, keep):
+        suppressed = jnp.any(keep & conflict[:, i])
+        return keep.at[i].set(valid[i] & ~suppressed)
+
+    return lax.fori_loop(0, k, body, jnp.zeros((k,), dtype=bool))
+
+
+def _nms_single(det: jax.Array, prob_thresh: float, iou_thresh: float,
+                top_k: int) -> NMSResult:
+    """NMS for one image's decoded detections (N, 5+C)."""
+    obj = det[:, 4]
+    class_prob = jnp.max(det[:, 5:], axis=1)
+    class_idx = jnp.argmax(det[:, 5:], axis=1).astype(jnp.int32)
+    score = obj * class_prob
+
+    passed = score >= prob_thresh
+    masked = jnp.where(passed, score, 0.0)
+
+    k = min(top_k, det.shape[0])
+    top_scores, top_i = lax.top_k(masked, k)
+    valid = top_scores > 0.0
+
+    cxywh = det[top_i, :4]
+    half = cxywh[:, 2:4] * 0.5
+    boxes = jnp.concatenate([cxywh[:, :2] - half, cxywh[:, :2] + half], axis=1)
+    classes = class_idx[top_i]
+
+    iou = iou_matrix(boxes)
+    same_class = classes[:, None] == classes[None, :]
+    keep = _greedy_suppress(iou, same_class, valid, iou_thresh)
+
+    return NMSResult(
+        boxes=jnp.where(keep[:, None], boxes, 0.0),
+        scores=jnp.where(keep, top_scores, 0.0),
+        classes=jnp.where(keep, classes, -1),
+        valid=keep,
+    )
+
+
+@partial(jax.jit, static_argnames=("prob_thresh", "iou_thresh", "top_k"))
+def batched_nms(detections: jax.Array, prob_thresh: float = 0.05,
+                iou_thresh: float = 0.3, top_k: int = 512) -> NMSResult:
+    """Class-aware NMS over a batch of decoded detections (B, N, 5+C).
+
+    ``prob_thresh``/``iou_thresh`` default to the reference CLI defaults
+    (SURVEY.md §2.11). K caps survivors per image (static shape); candidates
+    beyond the top-K score threshold are dropped — K=512 is far above any
+    real image's post-threshold census at the reference's defaults.
+    """
+    return jax.vmap(
+        lambda d: _nms_single(d, prob_thresh, iou_thresh, top_k)
+    )(detections)

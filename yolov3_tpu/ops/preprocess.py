@@ -1,0 +1,89 @@
+"""On-device preprocessing: uint8 frames → letterboxed, normalized NHWC fp32.
+
+The reference preprocesses on the host with OpenCV (BGR→RGB, resize, /255,
+HWC→CHW — SURVEY.md §2.3) and ships fp32 tensors over PCIe. TPU-native
+design (north star): frames cross host→HBM as **raw uint8** (4× less transfer
+bandwidth than fp32) and resize/pad/normalize run on-device under jit, fused
+by XLA into the first conv's input pipeline.
+
+Two modes, both jit-cached per (source shape, net shape):
+
+* ``letterbox`` — aspect-preserving resize + centered gray padding (the
+  north-star mode; pad value 0.5, darknet convention);
+* ``stretch`` — plain aspect-distorting bilinear resize (the reference's
+  probable actual behavior per SURVEY.md §2.3; kept selectable so box parity
+  can be validated under either semantics).
+
+Bilinear resize uses half-pixel centers without antialias — matching
+``cv2.resize(..., INTER_LINEAR)`` up to cv2's fixed-point rounding.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.boxes import letterbox_params
+
+
+@partial(jax.jit, static_argnames=("net_hw", "mode", "pad_value"))
+def preprocess(frames: jax.Array, net_hw: Tuple[int, int],
+               mode: str = "letterbox", pad_value: float = 0.5) -> jax.Array:
+    """(B, H, W, 3) uint8 RGB → (B, net_h, net_w, 3) float32 in [0, 1].
+
+    Static per (input shape, net_hw, mode): each (source-resolution →
+    net-resolution) pair compiles once and is cached — video streams hit one
+    executable for the whole stream.
+    """
+    if frames.dtype != jnp.uint8:
+        frames = frames.astype(jnp.uint8)
+    b, h, w, c = frames.shape
+    nh, nw = net_hw
+    x = frames.astype(jnp.float32) * (1.0 / 255.0)
+
+    if mode == "stretch":
+        return jax.image.resize(x, (b, nh, nw, c), method="linear",
+                                antialias=False)
+    if mode != "letterbox":
+        raise ValueError(f"unknown preprocess mode {mode!r}")
+
+    scale, pad_top, pad_left = letterbox_params((h, w), (nh, nw))
+    new_h, new_w = int(round(h * scale)), int(round(w * scale))
+    resized = jax.image.resize(x, (b, new_h, new_w, c), method="linear",
+                               antialias=False)
+    return jnp.pad(
+        resized,
+        ((0, 0), (pad_top, nh - new_h - pad_top),
+         (pad_left, nw - new_w - pad_left), (0, 0)),
+        constant_values=pad_value,
+    )
+
+
+def preprocess_host(frames, net_hw: Tuple[int, int], mode: str = "letterbox",
+                    pad_value: float = 0.5):
+    """cv2-based host fallback with identical semantics (used when source
+    shapes are too heterogeneous to batch, and as the parity oracle for the
+    on-device path)."""
+    import cv2
+    import numpy as np
+
+    frames = np.asarray(frames)
+    if frames.ndim == 3:
+        frames = frames[None]
+    b, h, w, c = frames.shape
+    nh, nw = net_hw
+    out = np.full((b, nh, nw, c), pad_value, dtype=np.float32)
+    if mode == "stretch":
+        for i in range(b):
+            out[i] = cv2.resize(frames[i], (nw, nh),
+                                interpolation=cv2.INTER_LINEAR) / 255.0
+        return out
+    scale, pad_top, pad_left = letterbox_params((h, w), (nh, nw))
+    new_h, new_w = int(round(h * scale)), int(round(w * scale))
+    for i in range(b):
+        r = cv2.resize(frames[i], (new_w, new_h),
+                       interpolation=cv2.INTER_LINEAR).astype(np.float32) / 255.0
+        out[i, pad_top:pad_top + new_h, pad_left:pad_left + new_w] = r
+    return out

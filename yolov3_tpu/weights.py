@@ -146,18 +146,21 @@ def write_weights(path: Union[str, Path], graph: Graph, raw: Dict[int, RawConv],
     Path(path).write_bytes(out.getvalue())
 
 
-def random_raw(graph: Graph, seed: int = 0, scale: float = 0.05) -> Dict[int, RawConv]:
+def random_raw(graph: Graph, seed: int = 0, scale: float = 1.0) -> Dict[int, RawConv]:
     """Synthesize plausible random raw params for every conv (test fixtures).
 
-    BN running-var is kept positive and O(1); weights are small so deep
-    forward passes stay in a sane numeric range.
+    Weights are fan-in scaled (He-style) so activations through deep stacks
+    stay O(1) — unscaled noise saturates sigmoids and overflows the head's
+    ``exp(tw)``, which would make parity comparisons vacuous. BN running-var
+    is kept positive and O(1).
     """
     rng = np.random.default_rng(seed)
     raw: Dict[int, RawConv] = {}
     for node in graph.conv_nodes:
         c_out, c_in, k = node.filters, _conv_in_channels(graph, node), node.size
+        std = scale / np.sqrt(c_in * k * k)
         p: RawConv = {
-            "weight": rng.normal(0.0, scale, (c_out, c_in, k, k)).astype(np.float32)
+            "weight": rng.normal(0.0, std, (c_out, c_in, k, k)).astype(np.float32)
         }
         if node.batch_normalize:
             p["bn_beta"] = rng.normal(0.0, 0.1, c_out).astype(np.float32)
