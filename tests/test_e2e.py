@@ -1,0 +1,144 @@
+"""End-to-end smoke tests over the CLI + entry points (SURVEY.md §4.5):
+each BASELINE config as a scriptable flow on CPU with synthetic weights.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from yolov3_tpu.graph import load_graph
+from yolov3_tpu.weights import random_raw, write_weights
+
+
+@pytest.fixture(scope="module")
+def tiny_weights(tmp_path_factory, cfg_paths):
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    path = tmp_path_factory.mktemp("w") / "tiny.weights"
+    write_weights(path, g, random_raw(g, seed=42))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def sample_images(tmp_path_factory):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    d = tmp_path_factory.mktemp("imgs")
+    shapes = [(480, 640), (480, 640), (480, 640), (720, 405)]
+    paths = []
+    for i, (h, w) in enumerate(shapes):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        p = d / f"img{i}.jpg"
+        cv2.imwrite(str(p), img)
+        paths.append(str(p))
+    return str(d), paths
+
+
+def _cli(args):
+    from yolov3_tpu.__main__ import main
+
+    return main(args)
+
+
+def test_cli_single_image(tiny_weights, sample_images, cfg_paths, models_dir,
+                          tmp_path, capsys):
+    out = tmp_path / "out.jpg"
+    rc = _cli(["--image", sample_images[1][0],
+               "--config", cfg_paths["yolov3-tiny"],
+               "--weights", tiny_weights,
+               "--class-names", os.path.join(models_dir, "coco.names"),
+               "--no-show", "--output", str(out), "--verbose",
+               "--prob-thresh", "0.3"])
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 1000
+    captured = capsys.readouterr().out
+    assert "detections" in captured
+
+
+def test_cli_directory_batched(tiny_weights, sample_images, cfg_paths,
+                               tmp_path, capsys):
+    """Mixed-resolution directory: bucket-by-shape + tail-padding path."""
+    out_dir = tmp_path / "annotated"
+    rc = _cli(["--image-dir", sample_images[0],
+               "--config", cfg_paths["yolov3-tiny"],
+               "--weights", tiny_weights,
+               "--batch-size", "2",  # 3 same-shape images -> full chunk + padded tail
+               "--no-show", "--output", str(out_dir),
+               "--prob-thresh", "0.3"])
+    assert rc == 0
+    assert "4 images" in capsys.readouterr().out
+    assert len(list(out_dir.iterdir())) == 4
+
+
+def test_cli_video_file(tiny_weights, cfg_paths, tmp_path, capsys):
+    import cv2
+
+    src = tmp_path / "in.avi"
+    w = cv2.VideoWriter(str(src), cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                        (320, 240))
+    rng = np.random.default_rng(1)
+    for _ in range(6):
+        w.write(rng.integers(0, 256, (240, 320, 3), dtype=np.uint8))
+    w.release()
+
+    out = tmp_path / "out.avi"
+    rc = _cli(["--video", str(src),
+               "--config", cfg_paths["yolov3-tiny"],
+               "--weights", tiny_weights,
+               "--no-show", "--output", str(out), "--show-fps",
+               "--frame-batch", "2", "--prob-thresh", "0.3"])
+    assert rc == 0
+    assert "processed 6 frames" in capsys.readouterr().out
+    cap = cv2.VideoCapture(str(out))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6
+    cap.release()
+
+
+def test_cli_multi_resolution_override(tiny_weights, sample_images, cfg_paths,
+                                       tmp_path):
+    """--net-size 320 re-jits the same params at another resolution."""
+    rc = _cli(["--image", sample_images[1][0],
+               "--config", cfg_paths["yolov3-tiny"],
+               "--weights", tiny_weights,
+               "--net-size", "320", "--no-show",
+               "--output", str(tmp_path / "o.jpg")])
+    assert rc == 0
+
+
+def test_cli_rejects_multiple_sources(tiny_weights, sample_images, cfg_paths):
+    with pytest.raises(SystemExit):
+        _cli(["--image", "a.jpg", "--video", "b.mp4",
+              "--config", cfg_paths["yolov3-tiny"], "--weights", tiny_weights])
+
+
+def test_detector_jit_cache_reuse(tiny_weights, cfg_paths):
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(tiny_weights)
+    det = Detector(net, prob_thresh=0.3)
+    frames = np.zeros((2, 240, 320, 3), dtype=np.uint8)
+    det.detect_batch(frames)
+    det.detect_batch(frames)
+    assert len(det._pipelines) == 1  # same bucket -> one executable
+    det.detect_batch(np.zeros((1, 480, 640, 3), dtype=np.uint8))
+    assert len(det._pipelines) == 2
+
+
+def test_inference_reference_api(tiny_weights, cfg_paths):
+    """inference(net, frame) returns (bbox_tlbr, class_prob, class_idx)."""
+    from yolov3_tpu.inference import inference
+    from yolov3_tpu.model import Darknet
+
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(tiny_weights)
+    frame = np.random.default_rng(3).integers(0, 256, (480, 640, 3),
+                                              dtype=np.uint8)
+    results = inference(net, frame, prob_thresh=0.3)
+    assert len(results) == 1
+    bbox, prob, cls = results[0]
+    assert bbox.ndim == 2 and bbox.shape[1] == 4
+    assert prob.shape == cls.shape == (bbox.shape[0],)
+    assert (bbox[:, 0] <= bbox[:, 2]).all() or bbox.shape[0] == 0
+    # boxes are in source-image coordinates
+    if bbox.shape[0]:
+        assert bbox[:, 2].max() <= 640 and bbox[:, 3].max() <= 480

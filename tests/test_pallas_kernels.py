@@ -1,0 +1,92 @@
+"""Pallas kernels vs jnp references (SURVEY.md §4.3) — interpret mode on CPU;
+compiled TPU execution is exercised by bench.py / tools/tpu_check.py.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from yolov3_tpu.ops.decode import decode_head
+from yolov3_tpu.ops.nms import batched_nms
+from yolov3_tpu.ops.pallas_decode import decode_head_pallas
+
+ANCHORS = ((10.0, 13.0), (33.0, 23.0), (116.0, 90.0))
+
+
+@pytest.mark.parametrize("b,g,stride", [(1, 13, 32), (2, 26, 16), (1, 19, 32)])
+def test_pallas_decode_matches_jnp(rng, b, g, stride):
+    feat = jnp.asarray(rng.normal(0, 1, (b, g, g, 3 * 85)).astype(np.float32))
+    ref = decode_head(feat, ANCHORS, stride, 80)
+    out = decode_head_pallas(feat, ANCHORS, stride, 80, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_decode_nonsquare_grid(rng):
+    feat = jnp.asarray(rng.normal(0, 1, (1, 10, 20, 3 * 85)).astype(np.float32))
+    ref = decode_head(feat, ANCHORS, 32, 80)
+    out = decode_head_pallas(feat, ANCHORS, 32, 80, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_decode_small_classes(rng):
+    anchors = ((10.0, 14.0), (23.0, 27.0))
+    feat = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 2 * 6)).astype(np.float32))
+    ref = decode_head(feat, anchors, 16, 1)
+    out = decode_head_pallas(feat, anchors, 16, 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_decode_exp_clamp(rng):
+    """Large tw/th hit the same clamp as the jnp reference."""
+    feat = np.zeros((1, 4, 4, 3 * 85), dtype=np.float32)
+    feat[..., 2] = 100.0  # tw far past the clamp
+    ref = decode_head(jnp.asarray(feat), ANCHORS, 32, 80)
+    out = decode_head_pallas(jnp.asarray(feat), ANCHORS, 32, 80, interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+
+def _rand_det(rng, n=300, classes=8):
+    cx = rng.uniform(0, 416, (n, 1))
+    cy = rng.uniform(0, 416, (n, 1))
+    wh = rng.uniform(8, 120, (n, 2))
+    obj = rng.uniform(0, 1, (n, 1))
+    cls = rng.uniform(0, 1, (n, classes))
+    return np.concatenate([cx, cy, wh, obj, cls], 1).astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pallas_nms_matches_xla(seed):
+    rng = np.random.default_rng(seed)
+    det = jnp.asarray(np.stack([_rand_det(rng), _rand_det(rng)]))
+    ref = batched_nms(det, prob_thresh=0.2, iou_thresh=0.4, top_k=64,
+                      impl="xla")
+    out = batched_nms(det, prob_thresh=0.2, iou_thresh=0.4, top_k=64,
+                      impl="pallas", interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.valid), np.asarray(ref.valid))
+    np.testing.assert_array_equal(np.asarray(out.classes),
+                                  np.asarray(ref.classes))
+    np.testing.assert_allclose(np.asarray(out.boxes), np.asarray(ref.boxes),
+                               rtol=1e-6)
+
+
+def test_pallas_nms_empty_and_full():
+    rng = np.random.default_rng(5)
+    det = _rand_det(rng, n=128)
+    det[:, 4] = 0.0001  # nothing passes
+    out = batched_nms(jnp.asarray(det[None]), prob_thresh=0.5, top_k=32,
+                      impl="pallas", interpret=True)
+    assert not np.asarray(out.valid).any()
+
+    det2 = _rand_det(rng, n=128)
+    det2[:, 4] = 0.99
+    ref = batched_nms(jnp.asarray(det2[None]), prob_thresh=0.01,
+                      iou_thresh=0.45, top_k=32, impl="xla")
+    out2 = batched_nms(jnp.asarray(det2[None]), prob_thresh=0.01,
+                       iou_thresh=0.45, top_k=32, impl="pallas",
+                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(out2.valid),
+                                  np.asarray(ref.valid))

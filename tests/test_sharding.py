@@ -1,0 +1,110 @@
+"""Batch-DP sharding tests on the virtual 8-device CPU mesh (SURVEY.md §4.6):
+sharded results ≡ single-device results; shardings actually propagate; the
+driver-facing __graft_entry__ hooks work.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from yolov3_tpu.graph import load_graph
+from yolov3_tpu.model import forward
+from yolov3_tpu.parallel.sharding import (batch_sharding, make_mesh,
+                                          replicate, shard_params,
+                                          sharded_pipeline)
+from yolov3_tpu.weights import fold_raw, random_raw
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(cfg_paths):
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    params = jax.tree.map(jnp.asarray, fold_raw(random_raw(g, seed=0)))
+    return g, params
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_construction():
+    mesh = make_mesh(8)
+    assert mesh.shape == {"data": 8}
+    with pytest.raises(ValueError, match="only 8 visible"):
+        make_mesh(16)
+
+
+def test_sharded_pipeline_matches_single_device(tiny_setup):
+    g, params = tiny_setup
+    frames = np.random.default_rng(1).integers(
+        0, 256, (8, 96, 128, 3), dtype=np.uint8)
+
+    mesh = make_mesh(8)
+    run = sharded_pipeline(g, mesh, net_hw=(160, 160), prob_thresh=0.2,
+                           top_k=32)
+    res_sharded = run(shard_params(params, mesh),
+                      jax.device_put(jnp.asarray(frames),
+                                     batch_sharding(mesh, 4)))
+
+    mesh1 = make_mesh(1)
+    run1 = sharded_pipeline(g, mesh1, net_hw=(160, 160), prob_thresh=0.2,
+                            top_k=32)
+    res_single = run1(shard_params(params, mesh1),
+                      jax.device_put(jnp.asarray(frames),
+                                     batch_sharding(mesh1, 4)))
+
+    np.testing.assert_allclose(np.asarray(res_sharded.boxes),
+                               np.asarray(res_single.boxes),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(res_sharded.valid),
+                                  np.asarray(res_single.valid))
+    np.testing.assert_array_equal(np.asarray(res_sharded.classes),
+                                  np.asarray(res_single.classes))
+
+
+def test_output_sharding_is_batch_partitioned(tiny_setup):
+    g, params = tiny_setup
+    mesh = make_mesh(8)
+    run = sharded_pipeline(g, mesh, net_hw=(160, 160), top_k=16)
+    frames = jax.device_put(
+        jnp.zeros((8, 96, 128, 3), dtype=jnp.uint8), batch_sharding(mesh, 4))
+    res = run(shard_params(params, mesh), frames)
+    expect = NamedSharding(mesh, P("data"))
+    assert res.boxes.sharding.is_equivalent_to(expect, ndim=res.boxes.ndim)
+    # each device holds exactly its batch slice
+    assert len(res.boxes.addressable_shards) == 8
+    assert res.boxes.addressable_shards[0].data.shape == (1, 16, 4)
+
+
+def test_params_replicated(tiny_setup):
+    g, params = tiny_setup
+    mesh = make_mesh(8)
+    sp = shard_params(params, mesh)
+    w = sp[0]["w"]
+    assert w.sharding.is_equivalent_to(replicate(mesh), ndim=w.ndim)
+
+
+def test_sharded_forward_only(tiny_setup):
+    """Bare forward under explicit shardings (no NMS) also partitions."""
+    g, params = tiny_setup
+    mesh = make_mesh(4)
+    fn = jax.jit(lambda p, x: forward(g, p, x),
+                 in_shardings=(replicate(mesh), batch_sharding(mesh, 4)),
+                 out_shardings=NamedSharding(mesh, P("data")))
+    x = jax.device_put(jnp.zeros((4, 160, 160, 3), jnp.float32),
+                       batch_sharding(mesh, 4))
+    out = fn(jax.device_put(params, replicate(mesh)), x)
+    assert out.shape == (4, 375, 85)  # 3*(5²+10²) anchors at 160x160
+
+
+def test_graft_entry_hooks():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    fn, (params, x) = ge.entry()
+    lowered = jax.jit(fn).lower(params, x)  # compile-check (trace+lower only)
+    assert "xla" in lowered.as_text().lower() or lowered is not None
+
+    ge.dryrun_multichip(8)

@@ -1,0 +1,75 @@
+"""On-TPU validation: compiled Pallas kernels vs jnp references, full pipeline
+smoke, and per-stage timing. Run on the real chip (no env overrides):
+
+    python tools/tpu_check.py
+"""
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def check_decode():
+    from yolov3_tpu.ops.decode import decode_head
+    from yolov3_tpu.ops.pallas_decode import decode_head_pallas
+
+    anchors = ((116.0, 90.0), (156.0, 198.0), (373.0, 326.0))
+    rng = np.random.default_rng(0)
+    feat = jnp.asarray(rng.normal(0, 1, (8, 19, 19, 255)).astype(np.float32))
+    ref = np.asarray(decode_head(feat, anchors, 32, 80))
+    out = np.asarray(decode_head_pallas(feat, anchors, 32, 80))
+    err = np.abs(out - ref).max()
+    rel = (np.abs(out - ref) / (np.abs(ref) + 1e-6)).max()
+    print(f"pallas decode compiled: max abs {err:.2e}, max rel {rel:.2e}")
+    assert rel < 1e-4, "pallas decode diverges on TPU"
+
+
+def check_nms():
+    from yolov3_tpu.ops.nms import batched_nms
+
+    rng = np.random.default_rng(1)
+    n = 2000
+    det = np.concatenate([
+        rng.uniform(0, 608, (n, 2)), rng.uniform(10, 150, (n, 2)),
+        rng.uniform(0, 1, (n, 1)), rng.uniform(0, 1, (n, 80))], 1
+    ).astype(np.float32)
+    det = jnp.asarray(np.stack([det] * 4))
+    ref = batched_nms(det, prob_thresh=0.3, iou_thresh=0.4, top_k=256,
+                      impl="xla")
+    out = batched_nms(det, prob_thresh=0.3, iou_thresh=0.4, top_k=256,
+                      impl="pallas")
+    ok = np.array_equal(np.asarray(out.valid), np.asarray(ref.valid))
+    print(f"pallas NMS compiled: survivors "
+          f"{int(np.asarray(out.valid).sum())} vs xla "
+          f"{int(np.asarray(ref.valid).sum())}, exact match: {ok}")
+    assert ok, "pallas NMS diverges on TPU"
+
+
+def time_stage(fn, args, iters=5, label=""):
+    out = fn(*args)
+    jax.tree.map(lambda x: float(jnp.sum(x.astype(jnp.float32))), out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    # force completion via tiny scalar fetch (relay-safe sync)
+    jax.tree.map(lambda x: float(jnp.sum(x.astype(jnp.float32))), out)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{label}: {dt * 1e3:.2f} ms")
+    return dt
+
+
+def main():
+    print("devices:", jax.devices())
+    check_decode()
+    check_nms()
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""CLI entry point — mirrors the reference's surface (SURVEY.md §2.11):
+mutually exclusive ``--image | --image-dir | --video | --cam`` sources;
+``--config/--weights/--class-names/--prob-thresh/--iou-thresh/--output/
+--show-fps/--verbose`` flags; plus TPU-build extensions (``--batch-size``,
+``--net-size`` multi-resolution, ``--resize-mode``, ``--precision``).
+
+    python -m yolov3_tpu --image dog.jpg \
+        --config models/yolov3.cfg --weights yolov3.weights \
+        --class-names models/coco.names
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="yolov3_tpu", description="TPU-native YOLOv3 object detection")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--image", "-i", metavar="PATH", help="path to an image file")
+    src.add_argument("--image-dir", "-I", metavar="DIR",
+                     help="directory of images (batched inference)")
+    src.add_argument("--video", "-v", metavar="PATH", help="path to a video file")
+    src.add_argument("--cam", "-c", metavar="ID", nargs="?", const="0",
+                     help="webcam device id (default 0)")
+
+    p.add_argument("--config", "-C", default="models/yolov3.cfg",
+                   help="darknet .cfg path")
+    p.add_argument("--weights", "-W", default="models/yolov3.weights",
+                   help="darknet .weights path")
+    p.add_argument("--class-names", "-N", default="models/coco.names",
+                   help=".names file with one class per line")
+    p.add_argument("--device", default=None,
+                   help="jax device (e.g. tpu:0, cpu:0); default = first device")
+    p.add_argument("--prob-thresh", "-p", type=float, default=0.05,
+                   help="detection probability threshold (obj × class prob)")
+    p.add_argument("--iou-thresh", type=float, default=0.3,
+                   help="NMS IoU suppression threshold")
+    p.add_argument("--output", "-o", default=None,
+                   help="output image/video path, or directory for --image-dir")
+    p.add_argument("--show-fps", action="store_true",
+                   help="overlay rolling FPS on video/cam output")
+    p.add_argument("--no-show", action="store_true",
+                   help="do not open display windows (headless)")
+    p.add_argument("--verbose", "-V", action="store_true")
+    # TPU-build extensions
+    p.add_argument("--batch-size", "-b", type=int, default=32,
+                   help="device batch for --image-dir / video batching")
+    p.add_argument("--frame-batch", type=int, default=1,
+                   help="frames per device step for --video")
+    p.add_argument("--net-size", type=int, default=None,
+                   help="override net input resolution (e.g. 320/416/608)")
+    p.add_argument("--resize-mode", choices=("letterbox", "stretch"),
+                   default="letterbox", help="preprocessing geometry")
+    p.add_argument("--precision", choices=("default", "highest"),
+                   default="default",
+                   help="conv precision: 'highest' pins fp32 (parity), "
+                        "'default' allows fast TPU passes")
+    p.add_argument("--top-k", type=int, default=512,
+                   help="static NMS candidate cap per image")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.device:
+        kind, _, idx = args.device.partition(":")
+        jax.config.update("jax_default_device",
+                          jax.devices(kind)[int(idx or 0)])
+
+    from .inference import (Detector, detect_directory, detect_image,
+                            detect_in_cam, detect_in_video)
+    from .model import Darknet
+    from .utils.drawing import load_class_names
+
+    precision = None if args.precision == "default" else args.precision
+    net = Darknet(args.config, precision=precision)
+    if args.verbose:
+        print(f"loaded {net.graph.name}: {len(net.graph.nodes)} layers, "
+              f"net {net.net_size[1]}x{net.net_size[0]}, "
+              f"{len(net.graph.yolo_nodes)} heads")
+    net.load_weights(args.weights)
+
+    net_hw = (args.net_size, args.net_size) if args.net_size else None
+    detector = Detector(net, prob_thresh=args.prob_thresh,
+                        iou_thresh=args.iou_thresh,
+                        resize_mode=args.resize_mode, top_k=args.top_k,
+                        net_hw=net_hw)
+    class_names = (load_class_names(args.class_names)
+                   if Path(args.class_names).exists() else None)
+
+    if args.image:
+        result = detect_image(detector, args.image, class_names=class_names,
+                              output_path=args.output, show=not args.no_show,
+                              verbose=args.verbose)
+        for box, prob, cls in zip(result.bbox_tlbr, result.class_prob,
+                                  result.class_idx):
+            name = (class_names[int(cls)] if class_names else str(int(cls)))
+            print(f"{name:20s} {prob:.3f}  tlbr=({box[0]:.0f},{box[1]:.0f},"
+                  f"{box[2]:.0f},{box[3]:.0f})")
+    elif args.image_dir:
+        if args.output:
+            Path(args.output).mkdir(parents=True, exist_ok=True)
+        results = detect_directory(detector, args.image_dir,
+                                   batch_size=args.batch_size,
+                                   class_names=class_names,
+                                   output_dir=args.output, verbose=True)
+        total = sum(len(r.bbox_tlbr) for r in results.values())
+        print(f"{len(results)} images, {total} detections")
+    elif args.video:
+        detect_in_video(detector, args.video, class_names=class_names,
+                        output_path=args.output, show=not args.no_show,
+                        show_fps=args.show_fps, frame_batch=args.frame_batch,
+                        verbose=True)
+    else:
+        detect_in_cam(detector, int(args.cam), class_names=class_names,
+                      show_fps=args.show_fps, output_path=args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

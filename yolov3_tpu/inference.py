@@ -1,0 +1,322 @@
+"""Inference pipeline + detect entry points (reference L3/L5, SURVEY.md §1).
+
+Mirrors ``yolov3/inference.py`` from the reference: ``inference()`` returning
+per-image ``(bbox_tlbr, class_prob, class_idx)`` in original-image pixels
+(SURVEY.md §2.7 output contract), plus ``detect_image``, ``detect_directory``
+(batched, BASELINE config #3), ``detect_in_video`` and ``detect_in_cam``.
+
+TPU-native structure: preprocess → forward → decode → NMS compile into **one
+jitted executable per (batch, source-resolution, net-resolution) bucket** —
+frames cross host→device as raw uint8, a single device program runs per step,
+and only the ≤top-K survivors come back. The reference instead does host
+preprocessing, a Python module-loop forward, a D2H copy of every detection,
+and per-class Python NMS loops per frame (SURVEY.md §3.1).
+
+Host threads handle capture/drawing exactly like the reference's
+getter/shower design; JAX async dispatch overlaps device compute with them.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .model import Darknet, forward
+from .ops.nms import batched_nms
+from .ops.preprocess import preprocess
+from .utils.boxes import unletterbox_tlbr, unstretch_tlbr
+
+
+@dataclass
+class Detection:
+    """Per-image detection result in original-image pixel coordinates."""
+
+    bbox_tlbr: np.ndarray  # (n, 4) float32
+    class_prob: np.ndarray  # (n,) float32  (objectness × class prob)
+    class_idx: np.ndarray  # (n,) int32
+
+
+class Detector:
+    """Jit-cached end-to-end detector over a :class:`~yolov3_tpu.model.Darknet`.
+
+    One compiled executable per (batch, src_hw) bucket; executables are cached
+    for the life of the detector — a video stream compiles exactly once.
+    """
+
+    def __init__(self, net: Darknet, prob_thresh: float = 0.05,
+                 iou_thresh: float = 0.3, resize_mode: str = "letterbox",
+                 top_k: int = 512, bgr: bool = True,
+                 net_hw: Optional[Tuple[int, int]] = None):
+        self.net = net
+        self.prob_thresh = float(prob_thresh)
+        self.iou_thresh = float(iou_thresh)
+        self.resize_mode = resize_mode
+        self.top_k = int(top_k)
+        self.bgr = bgr
+        self.net_hw = tuple(net_hw) if net_hw else net.net_size
+        self._pipelines: Dict[Tuple, callable] = {}
+
+    def _pipeline(self, batch: int, src_hw: Tuple[int, int]):
+        key = (batch, src_hw)
+        if key in self._pipelines:
+            return self._pipelines[key]
+
+        graph = self.net.graph
+        net_hw = self.net_hw
+        mode = self.resize_mode
+        bgr = self.bgr
+        prob, iou, top_k = self.prob_thresh, self.iou_thresh, self.top_k
+        precision = self.net.precision
+
+        @jax.jit
+        def run(params, frames_u8):
+            if bgr:
+                frames_u8 = frames_u8[..., ::-1]  # BGR→RGB on device
+            x = preprocess(frames_u8, net_hw, mode=mode)
+            det = forward(graph, params, x, precision=precision)
+            return batched_nms(det, prob_thresh=prob, iou_thresh=iou,
+                               top_k=top_k)
+
+        self._pipelines[key] = run
+        return run
+
+    def detect_batch(self, frames: np.ndarray) -> List[Detection]:
+        """Detect in a batch of same-shape HWC uint8 frames (BGR by default,
+        matching cv2 / the reference's input convention)."""
+        frames = np.ascontiguousarray(frames)
+        if frames.ndim == 3:
+            frames = frames[None]
+        b, h, w, _ = frames.shape
+        res = self._pipeline(b, (h, w))(self.net.params, jnp.asarray(frames))
+        # host: unpack ≤K survivors per image, rescale to source coords
+        valid = np.asarray(res.valid)
+        boxes = np.asarray(res.boxes)
+        scores = np.asarray(res.scores)
+        classes = np.asarray(res.classes)
+        unmap = unletterbox_tlbr if self.resize_mode == "letterbox" else unstretch_tlbr
+        out: List[Detection] = []
+        for i in range(b):
+            m = valid[i]
+            out.append(Detection(
+                bbox_tlbr=unmap(boxes[i][m], (h, w), self.net_hw),
+                class_prob=scores[i][m],
+                class_idx=classes[i][m],
+            ))
+        return out
+
+    def __call__(self, frames) -> List[Detection]:
+        return self.detect_batch(np.asarray(frames))
+
+
+def inference(net: Darknet, images, prob_thresh: float = 0.05,
+              nms_iou_thresh: float = 0.3, resize_mode: str = "letterbox"
+              ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Reference-compatible one-shot API (``yolov3/inference.py::inference``,
+    SURVEY.md §1 L3): BGR frame(s) in → per-image
+    ``(bbox_tlbr, class_prob, class_idx)`` tuples in source-image pixels.
+
+    For repeated calls prefer a :class:`Detector` (reuses the jit cache)."""
+    det = Detector(net, prob_thresh=prob_thresh, iou_thresh=nms_iou_thresh,
+                   resize_mode=resize_mode)
+    results = det.detect_batch(np.asarray(images))
+    return [(r.bbox_tlbr, r.class_prob, r.class_idx) for r in results]
+
+
+# ---------------------------------------------------------------------------
+# Entry points (reference L5, SURVEY.md §2.10 / §3.1–3.3)
+# ---------------------------------------------------------------------------
+
+def detect_image(detector: Detector, image_path, class_names=None,
+                 output_path=None, show: bool = True, verbose: bool = False):
+    """Single-image detect (reference CLI ``--image`` path, SURVEY.md §3.1)."""
+    import cv2
+
+    frame = cv2.imread(str(image_path))
+    if frame is None:
+        raise FileNotFoundError(f"could not read image {image_path}")
+    t0 = time.perf_counter()
+    (result,) = detector.detect_batch(frame)
+    if verbose:
+        print(f"{image_path}: {len(result.bbox_tlbr)} detections "
+              f"in {(time.perf_counter() - t0) * 1e3:.1f} ms")
+    from .utils.drawing import draw_boxes
+
+    draw_boxes(frame, result, class_names=class_names)
+    if output_path:
+        cv2.imwrite(str(output_path), frame)
+    if show:
+        cv2.imshow("yolov3-tpu", frame)
+        cv2.waitKey(0)
+    return result
+
+
+def detect_directory(detector: Detector, dir_path, batch_size: int = 32,
+                     class_names=None, output_dir=None, verbose: bool = False,
+                     extensions=(".jpg", ".jpeg", ".png", ".bmp")):
+    """Batched directory inference (BASELINE config #3).
+
+    Images are bucketed by source resolution so every bucket hits one compiled
+    executable; within a bucket, frames stream through in ``batch_size``
+    chunks with the final chunk zero-padded (static batch shape) and the pad
+    results dropped. Decode of image i+1 overlaps device compute of batch i
+    via JAX async dispatch.
+    """
+    import cv2
+
+    paths = sorted(p for p in Path(dir_path).iterdir()
+                   if p.suffix.lower() in extensions)
+    if not paths:
+        return {}
+
+    buckets: Dict[Tuple[int, int], List[Tuple[Path, np.ndarray]]] = {}
+    for p in paths:
+        frame = cv2.imread(str(p))
+        if frame is None:
+            continue
+        buckets.setdefault(frame.shape[:2], []).append((p, frame))
+
+    results: Dict[str, Detection] = {}
+    t0 = time.perf_counter()
+    n_images = 0
+    for shape_hw, items in buckets.items():
+        for start in range(0, len(items), batch_size):
+            chunk = items[start:start + batch_size]
+            frames = np.stack([f for _, f in chunk])
+            if len(chunk) < batch_size and len(items) > batch_size:
+                # pad the tail chunk to the compiled batch shape
+                pad = np.zeros((batch_size - len(chunk), *frames.shape[1:]),
+                               dtype=frames.dtype)
+                frames = np.concatenate([frames, pad])
+            dets = detector.detect_batch(frames)[:len(chunk)]
+            for (p, frame), det in zip(chunk, dets):
+                results[p.name] = det
+                n_images += 1
+                if output_dir:
+                    from .utils.drawing import draw_boxes
+
+                    draw_boxes(frame, det, class_names=class_names)
+                    cv2.imwrite(str(Path(output_dir) / p.name), frame)
+    if verbose:
+        dt = time.perf_counter() - t0
+        print(f"{n_images} images in {dt:.2f}s "
+              f"({n_images / dt:.1f} img/s incl. host I/O)")
+    return results
+
+
+def detect_in_video(detector: Detector, filepath, class_names=None,
+                    output_path=None, show: bool = False,
+                    show_fps: bool = False, frame_batch: int = 1,
+                    verbose: bool = False):
+    """Video-file detect loop (reference ``detect_in_video``, SURVEY.md §3.3):
+    sequential capture — every frame processed — with optional annotated
+    output video. ``frame_batch > 1`` batches consecutive frames through the
+    device pipeline for throughput (the TPU upgrade over the reference's
+    strict batch=1)."""
+    import cv2
+
+    from .utils.drawing import draw_boxes
+    from .utils.profiling import FPSCounter
+
+    cap = cv2.VideoCapture(str(filepath))
+    if not cap.isOpened():
+        raise FileNotFoundError(f"could not open video {filepath}")
+    writer = None
+    fps_in = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    fps = FPSCounter()
+    shower = None
+    if show:
+        from .utils.video import VideoShower
+
+        shower = VideoShower().start()
+    n = 0
+    try:
+        pending: List[np.ndarray] = []
+        eof = False
+        while not eof:
+            while len(pending) < frame_batch:
+                ok, frame = cap.read()
+                if not ok:
+                    eof = True
+                    break
+                pending.append(frame)
+            if not pending:
+                break
+            batch = np.stack(pending)
+            dets = detector.detect_batch(batch)
+            for frame, det in zip(pending, dets):
+                draw_boxes(frame, det, class_names=class_names)
+                fps.tick()
+                if show_fps:
+                    fps.overlay(frame)
+                if writer is None and output_path:
+                    writer = cv2.VideoWriter(
+                        str(output_path), cv2.VideoWriter_fourcc(*"mp4v"),
+                        fps_in, (frame.shape[1], frame.shape[0]))
+                if writer is not None:
+                    writer.write(frame)
+                if shower is not None:
+                    shower.frame = frame
+                n += 1
+            pending.clear()
+    finally:
+        cap.release()
+        if writer is not None:
+            writer.release()
+        if shower is not None:
+            shower.stop()
+    if verbose:
+        print(f"processed {n} frames at {fps.fps():.1f} FPS")
+    return n
+
+
+def detect_in_cam(detector: Detector, cam_id: int = 0, class_names=None,
+                  show_fps: bool = False, output_path=None):
+    """Real-time webcam loop (reference ``detect_in_cam``, SURVEY.md §3.2):
+    getter thread (latest-frame-wins, deliberately dropping frames) → device
+    pipeline → shower thread."""
+    import cv2
+
+    from .utils.drawing import draw_boxes
+    from .utils.profiling import FPSCounter
+    from .utils.video import VideoGetter, VideoShower
+
+    getter = VideoGetter(cam_id).start()
+    shower = VideoShower(window_name="yolov3-tpu").start()
+    fps = FPSCounter()
+    writer = None
+    frames_out = []
+    try:
+        while not getter.stopped and not shower.stopped:
+            frame = getter.frame
+            if frame is None:
+                time.sleep(0.005)
+                continue
+            frame = frame.copy()
+            (det,) = detector.detect_batch(frame)
+            draw_boxes(frame, det, class_names=class_names)
+            fps.tick()
+            if show_fps:
+                fps.overlay(frame)
+            if output_path:
+                frames_out.append(frame)
+            shower.frame = frame
+    except KeyboardInterrupt:
+        pass
+    finally:
+        getter.stop()
+        shower.stop()
+        if output_path and frames_out:
+            h, w = frames_out[0].shape[:2]
+            writer = cv2.VideoWriter(str(output_path),
+                                     cv2.VideoWriter_fourcc(*"mp4v"),
+                                     max(fps.fps(), 1.0), (w, h))
+            for f in frames_out:
+                writer.write(f)
+            writer.release()

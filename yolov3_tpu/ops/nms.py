@@ -8,12 +8,14 @@ whole filter runs under jit with static shapes:
 1. score = objectness × max class prob; class = argmax (reference formula);
 2. threshold mask → per-image ``top_k`` (static K) candidates;
 3. dense K×K IoU matrix (one fused batched pass);
-4. exact greedy suppression in score order via ``lax.fori_loop`` (greedy NMS
-   is order-dependent and non-transitive, so the scan is semantically
-   required — each step is a tiny vectorized mask update);
+4. exact greedy suppression in score order (greedy NMS is order-dependent and
+   non-transitive, so the scan is semantically required — each step is a tiny
+   vectorized mask update);
 5. fixed-size output: (boxes_tlbr, scores, classes, valid) each padded to K.
 
-vmapped over the batch; no host sync until the caller pulls results.
+``impl="xla"`` runs stages 3–4 as fused XLA ops; ``impl="pallas"`` runs them
+as one VMEM-resident Pallas kernel per image (``ops/pallas_nms.py``). Both
+are exact-greedy and bit-agree.
 """
 from __future__ import annotations
 
@@ -46,7 +48,7 @@ def iou_matrix(boxes: jax.Array) -> jax.Array:
 
 def _greedy_suppress(iou: jax.Array, same_class: jax.Array, valid: jax.Array,
                      iou_thresh: float) -> jax.Array:
-    """Exact greedy NMS over score-desc-sorted candidates.
+    """Exact greedy NMS over score-desc-sorted candidates (XLA impl).
 
     keep[i] ⇔ valid[i] and no kept j<i of the same class with IoU>τ —
     identical semantics to the reference's per-class greedy loop.
@@ -61,9 +63,8 @@ def _greedy_suppress(iou: jax.Array, same_class: jax.Array, valid: jax.Array,
     return lax.fori_loop(0, k, body, jnp.zeros((k,), dtype=bool))
 
 
-def _nms_single(det: jax.Array, prob_thresh: float, iou_thresh: float,
-                top_k: int) -> NMSResult:
-    """NMS for one image's decoded detections (N, 5+C)."""
+def _candidates(det: jax.Array, prob_thresh: float, top_k: int):
+    """Per-image: score/class reduction, threshold, static top-k gather."""
     obj = det[:, 4]
     class_prob = jnp.max(det[:, 5:], axis=1)
     class_idx = jnp.argmax(det[:, 5:], axis=1).astype(jnp.int32)
@@ -79,23 +80,14 @@ def _nms_single(det: jax.Array, prob_thresh: float, iou_thresh: float,
     cxywh = det[top_i, :4]
     half = cxywh[:, 2:4] * 0.5
     boxes = jnp.concatenate([cxywh[:, :2] - half, cxywh[:, :2] + half], axis=1)
-    classes = class_idx[top_i]
-
-    iou = iou_matrix(boxes)
-    same_class = classes[:, None] == classes[None, :]
-    keep = _greedy_suppress(iou, same_class, valid, iou_thresh)
-
-    return NMSResult(
-        boxes=jnp.where(keep[:, None], boxes, 0.0),
-        scores=jnp.where(keep, top_scores, 0.0),
-        classes=jnp.where(keep, classes, -1),
-        valid=keep,
-    )
+    return boxes, top_scores, class_idx[top_i], valid
 
 
-@partial(jax.jit, static_argnames=("prob_thresh", "iou_thresh", "top_k"))
+@partial(jax.jit, static_argnames=("prob_thresh", "iou_thresh", "top_k",
+                                   "impl", "interpret"))
 def batched_nms(detections: jax.Array, prob_thresh: float = 0.05,
-                iou_thresh: float = 0.3, top_k: int = 512) -> NMSResult:
+                iou_thresh: float = 0.3, top_k: int = 512,
+                impl: str = "xla", interpret: bool = False) -> NMSResult:
     """Class-aware NMS over a batch of decoded detections (B, N, 5+C).
 
     ``prob_thresh``/``iou_thresh`` default to the reference CLI defaults
@@ -103,6 +95,27 @@ def batched_nms(detections: jax.Array, prob_thresh: float = 0.05,
     beyond the top-K score threshold are dropped — K=512 is far above any
     real image's post-threshold census at the reference's defaults.
     """
-    return jax.vmap(
-        lambda d: _nms_single(d, prob_thresh, iou_thresh, top_k)
-    )(detections)
+    boxes, scores, classes, valid = jax.vmap(
+        lambda d: _candidates(d, prob_thresh, top_k))(detections)
+
+    if impl == "pallas":
+        from .pallas_nms import pallas_suppress
+
+        keep = pallas_suppress(boxes, classes, valid, iou_thresh,
+                               interpret=interpret)
+    elif impl == "xla":
+        def one(bx, cl, va):
+            iou = iou_matrix(bx)
+            same = cl[:, None] == cl[None, :]
+            return _greedy_suppress(iou, same, va, iou_thresh)
+
+        keep = jax.vmap(one)(boxes, classes, valid)
+    else:
+        raise ValueError(f"unknown NMS impl {impl!r}")
+
+    return NMSResult(
+        boxes=jnp.where(keep[..., None], boxes, 0.0),
+        scores=jnp.where(keep, scores, 0.0),
+        classes=jnp.where(keep, classes, -1),
+        valid=keep,
+    )

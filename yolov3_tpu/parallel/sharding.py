@@ -1,0 +1,96 @@
+"""Batch-data-parallel sharding (SURVEY.md §2.15).
+
+The reference is strictly single-process/single-device; the only parallelism
+this workload needs (and the one BASELINE config #3 exercises) is **data
+parallelism over the batch axis**. TPU-native recipe: one ``Mesh`` with a
+``data`` axis, params replicated, activations sharded on batch —
+``jax.jit`` + ``NamedSharding`` lets XLA place each image's whole pipeline
+(preprocess → convs → decode → NMS) on its shard's chip with **zero
+collectives in steady state** (detections come back already per-image; there
+is nothing to all-reduce in inference). Cross-chip traffic only happens at
+the host→device scatter of the input batch, which rides ICI after the first
+transfer.
+
+YOLOv3 is ~62 M params (≈248 MB fp32, ≈124 MB bf16) — it fits trivially in
+one chip's HBM, so tensor/pipeline parallelism would only add collective
+latency for zero memory benefit; TP/PP are deliberately out of scope
+(SURVEY.md §2.15). On a single-device mesh every sharding below degrades to
+identity, so the same code path runs 1-chip and N-chip.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D device mesh over the batch axis. Defaults to all visible devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devices)} visible")
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) axis; everything else replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params, mesh: Mesh):
+    """Replicate the (small) param pytree onto every mesh device."""
+    rep = replicate(mesh)
+    return jax.device_put(params, rep)
+
+
+def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
+                     prob_thresh: float = 0.05, iou_thresh: float = 0.3,
+                     top_k: int = 512, mode: str = "letterbox",
+                     precision: Optional[str] = None, bgr: bool = True):
+    """Build the batch-DP end-to-end detect step, jitted over ``mesh``.
+
+    Returns ``run(params, frames_u8)``: uint8 (B, H, W, 3) sharded on batch →
+    NMSResult pytree sharded on batch. B must be divisible by mesh size.
+    """
+    from ..model import forward
+    from ..ops.nms import batched_nms
+    from ..ops.preprocess import preprocess
+
+    data_in = batch_sharding(mesh, 4)
+    out_spec = NamedSharding(mesh, P(DATA_AXIS))
+
+    def step(params, frames_u8):
+        if bgr:
+            frames_u8 = frames_u8[..., ::-1]
+        x = preprocess(frames_u8, net_hw, mode=mode)
+        det = forward(graph, params, x, precision=precision)
+        return batched_nms(det, prob_thresh=prob_thresh,
+                           iou_thresh=iou_thresh, top_k=top_k)
+
+    return jax.jit(
+        step,
+        in_shardings=(replicate(mesh), data_in),
+        out_shardings=jax.tree.map(lambda _: out_spec, _nms_result_struct()),
+    )
+
+
+def _nms_result_struct():
+    """Pytree prototype matching NMSResult's structure for out_shardings."""
+    from ..ops.nms import NMSResult
+
+    return NMSResult(boxes=0, scores=0, classes=0, valid=0)
