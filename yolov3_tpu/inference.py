@@ -63,15 +63,16 @@ class Detector:
         self.net_hw = tuple(net_hw) if net_hw else net.net_size
         self._pipelines: Dict[Tuple, callable] = {}
 
-    def _pipeline(self, batch: int, src_hw: Tuple[int, int]):
-        key = (batch, src_hw)
+    def _pipeline(self, batch: int, src_hw: Tuple[int, int],
+                  bgr: Optional[bool] = None):
+        bgr = self.bgr if bgr is None else bgr
+        key = (batch, src_hw, bgr)
         if key in self._pipelines:
             return self._pipelines[key]
 
         graph = self.net.graph
         net_hw = self.net_hw
         mode = self.resize_mode
-        bgr = self.bgr
         prob, iou, top_k = self.prob_thresh, self.iou_thresh, self.top_k
         precision = self.net.precision
 
@@ -106,6 +107,53 @@ class Detector:
             m = valid[i]
             out.append(Detection(
                 bbox_tlbr=unmap(boxes[i][m], (h, w), self.net_hw),
+                class_prob=scores[i][m],
+                class_idx=classes[i][m],
+            ))
+        return out
+
+    def detect_mixed(self, frames: Sequence[np.ndarray]) -> List[Detection]:
+        """Detect in a list of arbitrarily-sized HWC uint8 frames.
+
+        Uses the C++ host loader (``yolov3_tpu.native``) to letterbox every
+        image into ONE fixed-shape uint8 batch, so heterogeneous directories
+        hit a single compiled executable instead of one per source shape.
+        Falls back to per-shape device pipelines if the native library is
+        unavailable.
+        """
+        from . import native
+
+        if not native.available():
+            return [d for f in frames for d in self.detect_batch(f)]
+        if self.resize_mode != "letterbox":
+            canvases = np.concatenate(
+                [native.stretch_batch_native(f[None], self.net_hw,
+                                             swap_rb=self.bgr)
+                 for f in frames])
+        else:
+            canvases = native.letterbox_mixed_native(frames, self.net_hw,
+                                                     swap_rb=self.bgr)
+        src_hws = [f.shape[:2] for f in frames]
+        return self.detect_preletterboxed(canvases, src_hws)
+
+    def detect_preletterboxed(self, canvases: np.ndarray,
+                              src_hws: Sequence[Tuple[int, int]]
+                              ) -> List[Detection]:
+        """Run the device pipeline on host-preprocessed RGB uint8 canvases
+        already at net resolution; rescale each result to its own source."""
+        b = canvases.shape[0]
+        run = self._pipeline(b, self.net_hw, bgr=False)
+        res = run(self.net.params, jnp.asarray(canvases))
+        valid = np.asarray(res.valid)
+        boxes = np.asarray(res.boxes)
+        scores = np.asarray(res.scores)
+        classes = np.asarray(res.classes)
+        unmap = unletterbox_tlbr if self.resize_mode == "letterbox" else unstretch_tlbr
+        out: List[Detection] = []
+        for i in range(b):
+            m = valid[i]
+            out.append(Detection(
+                bbox_tlbr=unmap(boxes[i][m], src_hws[i], self.net_hw),
                 class_prob=scores[i][m],
                 class_idx=classes[i][m],
             ))
@@ -185,6 +233,30 @@ def detect_directory(detector: Detector, dir_path, batch_size: int = 32,
     results: Dict[str, Detection] = {}
     t0 = time.perf_counter()
     n_images = 0
+
+    from . import native as native_mod
+
+    if len(buckets) > 1 and native_mod.available():
+        # heterogeneous sources: C++ host letterbox assembles mixed shapes
+        # into fixed-shape uint8 batches -> one compiled executable total
+        items = [it for bucket in buckets.values() for it in bucket]
+        for start in range(0, len(items), batch_size):
+            chunk = items[start:start + batch_size]
+            dets = detector.detect_mixed([f for _, f in chunk])
+            for (p, frame), det in zip(chunk, dets):
+                results[p.name] = det
+                n_images += 1
+                if output_dir:
+                    from .utils.drawing import draw_boxes
+
+                    draw_boxes(frame, det, class_names=class_names)
+                    cv2.imwrite(str(Path(output_dir) / p.name), frame)
+        if verbose:
+            dt = time.perf_counter() - t0
+            print(f"{n_images} images in {dt:.2f}s "
+                  f"({n_images / dt:.1f} img/s incl. host I/O)")
+        return results
+
     for shape_hw, items in buckets.items():
         for start in range(0, len(items), batch_size):
             chunk = items[start:start + batch_size]

@@ -161,10 +161,15 @@ class Darknet:
     def net_size(self) -> Tuple[int, int]:
         return (self.graph.in_height, self.graph.in_width)
 
-    def load_weights(self, weights_path) -> "Darknet":
-        from .weights import load_weights
+    def load_weights(self, weights_path, cache: bool = False) -> "Darknet":
+        """Load a darknet ``.weights`` file (folded, HWIO). ``cache=True``
+        keeps an npz of the converted params next to the file (SURVEY §5.4)."""
+        from .weights import load_weights, load_weights_cached
 
-        host = load_weights(weights_path, self.graph)
+        if cache:
+            host = load_weights_cached(weights_path, self.graph)
+        else:
+            host = load_weights(weights_path, self.graph)
         self.params = jax.tree.map(
             lambda a: jnp.asarray(a, dtype=self.param_dtype), host
         )

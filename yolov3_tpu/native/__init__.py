@@ -1,0 +1,127 @@
+"""ctypes bindings for the C++ host data-loader (``native/preproc.cpp``).
+
+Auto-builds ``libpreproc.so`` with g++ on first use (cached next to the
+source); falls back gracefully — callers check :func:`available` and use the
+cv2/device paths otherwise.
+"""
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parent.parent.parent / "native" / "preproc.cpp"
+_SO = _SRC.parent / "libpreproc.so"
+_lib = None
+_tried = False
+
+PAD_VALUE = 128  # uint8 gray == 0.5 after /255, matching the device letterbox
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", str(_SRC),
+           "-o", str(_SO)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        try:  # retry without OpenMP (toolchains missing libgomp)
+            subprocess.run([c for c in cmd if c != "-fopenmp"], check=True,
+                           capture_output=True, timeout=120)
+            return True
+        except (OSError, subprocess.SubprocessError):
+            return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _SRC.exists() or not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError:
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.letterbox_batch.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_int, u8p, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_int]
+    lib.letterbox_mixed.argtypes = [ctypes.POINTER(u8p),
+                                    ctypes.POINTER(ctypes.c_int),
+                                    ctypes.POINTER(ctypes.c_int),
+                                    ctypes.c_int, u8p, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_int]
+    lib.stretch_batch.argtypes = lib.letterbox_batch.argtypes
+    for f in (lib.letterbox_batch, lib.letterbox_mixed, lib.stretch_batch,
+              lib.preproc_version):
+        f.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def letterbox_batch_native(frames: np.ndarray, net_hw, swap_rb: bool = True
+                           ) -> np.ndarray:
+    """(B, H, W, 3) uint8 → (B, nh, nw, 3) uint8 letterboxed (RGB if swap_rb)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native preproc library unavailable")
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    b, h, w, _ = frames.shape
+    nh, nw = net_hw
+    out = np.full((b, nh, nw, 3), PAD_VALUE, dtype=np.uint8)
+    rc = lib.letterbox_batch(_u8ptr(frames), b, h, w, _u8ptr(out), nh, nw,
+                             int(swap_rb))
+    if rc != 0:
+        raise RuntimeError(f"letterbox_batch failed rc={rc}")
+    return out
+
+
+def letterbox_mixed_native(frames: Sequence[np.ndarray], net_hw,
+                           swap_rb: bool = True) -> np.ndarray:
+    """List of HWC uint8 images (any sizes) → one (B, nh, nw, 3) uint8 batch."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native preproc library unavailable")
+    frames = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    b = len(frames)
+    nh, nw = net_hw
+    out = np.full((b, nh, nw, 3), PAD_VALUE, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    ptrs = (u8p * b)(*[_u8ptr(f) for f in frames])
+    shs = (ctypes.c_int * b)(*[f.shape[0] for f in frames])
+    sws = (ctypes.c_int * b)(*[f.shape[1] for f in frames])
+    rc = lib.letterbox_mixed(ptrs, shs, sws, b, _u8ptr(out), nh, nw,
+                             int(swap_rb))
+    if rc != 0:
+        raise RuntimeError(f"letterbox_mixed failed rc={rc}")
+    return out
+
+
+def stretch_batch_native(frames: np.ndarray, net_hw, swap_rb: bool = True
+                         ) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native preproc library unavailable")
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    b, h, w, _ = frames.shape
+    nh, nw = net_hw
+    out = np.empty((b, nh, nw, 3), dtype=np.uint8)
+    rc = lib.stretch_batch(_u8ptr(frames), b, h, w, _u8ptr(out), nh, nw,
+                           int(swap_rb))
+    if rc != 0:
+        raise RuntimeError(f"stretch_batch failed rc={rc}")
+    return out

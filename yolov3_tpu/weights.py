@@ -173,6 +173,39 @@ def random_raw(graph: Graph, seed: int = 0, scale: float = 1.0) -> Dict[int, Raw
     return raw
 
 
+def load_weights_cached(path: Union[str, Path], graph: Graph,
+                        cache_dir: Union[str, Path, None] = None) -> Params:
+    """``load_weights`` with an on-disk cache of the folded/transposed params
+    (SURVEY.md §5.4): skips the OIHW parse + BN fold on repeat loads. The
+    cache key fingerprints the weight file (size + mtime) and the graph, so a
+    replaced ``.weights`` file invalidates it automatically.
+    """
+    path = Path(path)
+    cache_dir = Path(cache_dir) if cache_dir else path.parent / ".param_cache"
+    st = path.stat()
+    key = f"{path.stem}-{graph.name}-{st.st_size}-{int(st.st_mtime)}"
+    cache_file = cache_dir / f"{key}.npz"
+    if cache_file.exists():
+        with np.load(cache_file) as z:
+            return {
+                int(name.split(".")[0]): {
+                    "w": z[f"{name.split('.')[0]}.w"],
+                    "b": z[f"{name.split('.')[0]}.b"],
+                }
+                for name in z.files if name.endswith(".w")
+            }
+    params = load_weights(path, graph)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    flat = {}
+    for idx, p in params.items():
+        flat[f"{idx}.w"] = p["w"]
+        flat[f"{idx}.b"] = p["b"]
+    tmp = cache_file.with_suffix(".tmp.npz")
+    np.savez(tmp, **flat)
+    tmp.replace(cache_file)
+    return params
+
+
 def param_count(graph: Graph) -> int:
     """Total float32 count of the weight stream (excluding header)."""
     total = 0
