@@ -25,12 +25,13 @@ REPO = Path(__file__).parent
 BASELINE_CACHE = REPO / "BENCH_TORCH_BASELINE.json"
 
 
-def measure_tpu(graph, params, frames, iters, prob_thresh=0.05):
+def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
+                precision=None):
     import jax
     import jax.numpy as jnp
 
-    from yolov3_tpu.model import forward
-    from yolov3_tpu.ops.nms import batched_nms
+    from yolov3_tpu.model import forward_compact
+    from yolov3_tpu.ops.nms import batched_nms_compact
     from yolov3_tpu.ops.preprocess import preprocess
 
     net_hw = (frames.shape[1], frames.shape[2])
@@ -38,8 +39,10 @@ def measure_tpu(graph, params, frames, iters, prob_thresh=0.05):
     @jax.jit
     def run(params, frames_u8):
         x = preprocess(frames_u8[..., ::-1], net_hw)
-        det = forward(graph, params, x)
-        res = batched_nms(det, prob_thresh=prob_thresh)
+        boxes, scores, classes = forward_compact(graph, params, x,
+                                                 precision=precision)
+        res = batched_nms_compact(boxes, scores, classes,
+                                  prob_thresh=prob_thresh)
         # reduce to scalars ON DEVICE: fetching full NMS buffers through this
         # environment's TPU relay runs at ~150 KB/s (a tunnel artifact, not
         # chip D2H) and would swamp the measurement; completion of these
@@ -97,6 +100,10 @@ def main():
     ap.add_argument("--remeasure-baseline", action="store_true")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the timed loop")
+    ap.add_argument("--precision", choices=("default", "highest", "bf16"),
+                    default="bf16",
+                    help="serving precision (bf16 = production fast path; "
+                         "box parity vs fp32 is checked in tests)")
     args = ap.parse_args()
 
     if args.quick:
@@ -120,13 +127,22 @@ def main():
     frames = np.random.default_rng(1).integers(
         0, 256, (args.batch, args.size, args.size, 3), dtype=np.uint8)
 
+    precision = None if args.precision == "default" else args.precision
+    if precision == "bf16":
+        import jax.numpy as jnp
+
+        params = {k: {n: np.asarray(v, dtype=jnp.bfloat16)
+                      for n, v in p.items()} for k, p in params.items()}
+
     if args.profile:
         import jax
 
         with jax.profiler.trace(args.profile):
-            tpu_ips = measure_tpu(graph, params, frames, args.iters)
+            tpu_ips = measure_tpu(graph, params, frames, args.iters,
+                                  precision=precision)
     else:
-        tpu_ips = measure_tpu(graph, params, frames, args.iters)
+        tpu_ips = measure_tpu(graph, params, frames, args.iters,
+                              precision=precision)
 
     key = f"{graph.name}@{args.size}"
     cache = {}

@@ -54,10 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override net input resolution (e.g. 320/416/608)")
     p.add_argument("--resize-mode", choices=("letterbox", "stretch"),
                    default="letterbox", help="preprocessing geometry")
-    p.add_argument("--precision", choices=("default", "highest"),
+    p.add_argument("--precision", choices=("default", "highest", "bf16"),
                    default="default",
                    help="conv precision: 'highest' pins fp32 (parity), "
-                        "'default' allows fast TPU passes")
+                        "'default' allows fast TPU passes, 'bf16' runs convs "
+                        "fully in bfloat16 (fastest; decode stays fp32)")
     p.add_argument("--top-k", type=int, default=512,
                    help="static NMS candidate cap per image")
     p.add_argument("--cache-params", action="store_true",

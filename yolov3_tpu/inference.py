@@ -28,8 +28,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .model import Darknet, forward
-from .ops.nms import batched_nms
+from .model import Darknet, forward, forward_compact
+from .ops.nms import batched_nms, batched_nms_compact
 from .ops.preprocess import preprocess
 from .utils.boxes import unletterbox_tlbr, unstretch_tlbr
 
@@ -81,9 +81,13 @@ class Detector:
             if bgr:
                 frames_u8 = frames_u8[..., ::-1]  # BGR→RGB on device
             x = preprocess(frames_u8, net_hw, mode=mode)
-            det = forward(graph, params, x, precision=precision)
-            return batched_nms(det, prob_thresh=prob, iou_thresh=iou,
-                               top_k=top_k)
+            # compact path: decode + score/class reduction fuse with the
+            # heads; the (B, N, 5+C) tensor never reaches HBM
+            boxes, scores, classes = forward_compact(graph, params, x,
+                                                     precision=precision)
+            return batched_nms_compact(boxes, scores, classes,
+                                       prob_thresh=prob, iou_thresh=iou,
+                                       top_k=top_k)
 
         self._pipelines[key] = run
         return run

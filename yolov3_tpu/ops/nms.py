@@ -83,21 +83,8 @@ def _candidates(det: jax.Array, prob_thresh: float, top_k: int):
     return boxes, top_scores, class_idx[top_i], valid
 
 
-@partial(jax.jit, static_argnames=("prob_thresh", "iou_thresh", "top_k",
-                                   "impl", "interpret"))
-def batched_nms(detections: jax.Array, prob_thresh: float = 0.05,
-                iou_thresh: float = 0.3, top_k: int = 512,
-                impl: str = "xla", interpret: bool = False) -> NMSResult:
-    """Class-aware NMS over a batch of decoded detections (B, N, 5+C).
-
-    ``prob_thresh``/``iou_thresh`` default to the reference CLI defaults
-    (SURVEY.md §2.11). K caps survivors per image (static shape); candidates
-    beyond the top-K score threshold are dropped — K=512 is far above any
-    real image's post-threshold census at the reference's defaults.
-    """
-    boxes, scores, classes, valid = jax.vmap(
-        lambda d: _candidates(d, prob_thresh, top_k))(detections)
-
+def _suppress_batch(boxes, scores, classes, valid, iou_thresh, impl,
+                    interpret):
     if impl == "pallas":
         from .pallas_nms import pallas_suppress
 
@@ -119,3 +106,43 @@ def batched_nms(detections: jax.Array, prob_thresh: float = 0.05,
         classes=jnp.where(keep, classes, -1),
         valid=keep,
     )
+
+
+@partial(jax.jit, static_argnames=("prob_thresh", "iou_thresh", "top_k",
+                                   "impl", "interpret"))
+def batched_nms(detections: jax.Array, prob_thresh: float = 0.05,
+                iou_thresh: float = 0.3, top_k: int = 512,
+                impl: str = "xla", interpret: bool = False) -> NMSResult:
+    """Class-aware NMS over a batch of decoded detections (B, N, 5+C).
+
+    ``prob_thresh``/``iou_thresh`` default to the reference CLI defaults
+    (SURVEY.md §2.11). K caps survivors per image (static shape); candidates
+    beyond the top-K score threshold are dropped — K=512 is far above any
+    real image's post-threshold census at the reference's defaults.
+    """
+    boxes, scores, classes, valid = jax.vmap(
+        lambda d: _candidates(d, prob_thresh, top_k))(detections)
+    return _suppress_batch(boxes, scores, classes, valid, iou_thresh, impl,
+                           interpret)
+
+
+@partial(jax.jit, static_argnames=("prob_thresh", "iou_thresh", "top_k",
+                                   "impl", "interpret"))
+def batched_nms_compact(boxes: jax.Array, scores: jax.Array,
+                        classes: jax.Array, prob_thresh: float = 0.05,
+                        iou_thresh: float = 0.3, top_k: int = 512,
+                        impl: str = "xla",
+                        interpret: bool = False) -> NMSResult:
+    """NMS over compact-decode outputs (serving path): tlbr boxes (B, N, 4),
+    scores (B, N), classes (B, N) — score/class reduction already fused into
+    decode, so this is just threshold → top-k gather → greedy suppression.
+    Identical semantics/results to :func:`batched_nms` on the same data.
+    """
+    masked = jnp.where(scores >= prob_thresh, scores, 0.0)
+    k = min(top_k, scores.shape[1])
+    top_scores, top_i = lax.top_k(masked, k)  # batched over leading dim
+    valid = top_scores > 0.0
+    top_boxes = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
+    top_classes = jnp.take_along_axis(classes, top_i, axis=1)
+    return _suppress_batch(top_boxes, top_scores, top_classes, valid,
+                           iou_thresh, impl, interpret)

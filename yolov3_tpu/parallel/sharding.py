@@ -67,8 +67,8 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
     Returns ``run(params, frames_u8)``: uint8 (B, H, W, 3) sharded on batch →
     NMSResult pytree sharded on batch. B must be divisible by mesh size.
     """
-    from ..model import forward
-    from ..ops.nms import batched_nms
+    from ..model import forward_compact
+    from ..ops.nms import batched_nms_compact
     from ..ops.preprocess import preprocess
 
     data_in = batch_sharding(mesh, 4)
@@ -78,9 +78,11 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
         if bgr:
             frames_u8 = frames_u8[..., ::-1]
         x = preprocess(frames_u8, net_hw, mode=mode)
-        det = forward(graph, params, x, precision=precision)
-        return batched_nms(det, prob_thresh=prob_thresh,
-                           iou_thresh=iou_thresh, top_k=top_k)
+        boxes, scores, classes = forward_compact(graph, params, x,
+                                                 precision=precision)
+        return batched_nms_compact(boxes, scores, classes,
+                                   prob_thresh=prob_thresh,
+                                   iou_thresh=iou_thresh, top_k=top_k)
 
     return jax.jit(
         step,
