@@ -17,6 +17,7 @@ getter/shower design; JAX async dispatch overlaps device compute with them.
 """
 from __future__ import annotations
 
+import logging
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -24,6 +25,8 @@ from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+log = logging.getLogger("yolov3_tpu")
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +72,9 @@ class Detector:
         key = (batch, src_hw, bgr)
         if key in self._pipelines:
             return self._pipelines[key]
+        log.info("compiling pipeline: batch=%d src=%s net=%s mode=%s "
+                 "precision=%s", batch, src_hw, self.net_hw, self.resize_mode,
+                 self.net.precision or "default")
 
         graph = self.net.graph
         net_hw = self.net_hw
@@ -92,6 +98,24 @@ class Detector:
         self._pipelines[key] = run
         return run
 
+    def _unpack(self, res, src_hw: Tuple[int, int]) -> List[Detection]:
+        """Materialize a device NMSResult: unpack ≤K survivors per image and
+        rescale to source coordinates (all same-shape sources)."""
+        valid = np.asarray(res.valid)
+        boxes = np.asarray(res.boxes)
+        scores = np.asarray(res.scores)
+        classes = np.asarray(res.classes)
+        unmap = unletterbox_tlbr if self.resize_mode == "letterbox" else unstretch_tlbr
+        out: List[Detection] = []
+        for i in range(valid.shape[0]):
+            m = valid[i]
+            out.append(Detection(
+                bbox_tlbr=unmap(boxes[i][m], src_hw, self.net_hw),
+                class_prob=scores[i][m],
+                class_idx=classes[i][m],
+            ))
+        return out
+
     def detect_batch(self, frames: np.ndarray) -> List[Detection]:
         """Detect in a batch of same-shape HWC uint8 frames (BGR by default,
         matching cv2 / the reference's input convention)."""
@@ -100,21 +124,7 @@ class Detector:
             frames = frames[None]
         b, h, w, _ = frames.shape
         res = self._pipeline(b, (h, w))(self.net.params, jnp.asarray(frames))
-        # host: unpack ≤K survivors per image, rescale to source coords
-        valid = np.asarray(res.valid)
-        boxes = np.asarray(res.boxes)
-        scores = np.asarray(res.scores)
-        classes = np.asarray(res.classes)
-        unmap = unletterbox_tlbr if self.resize_mode == "letterbox" else unstretch_tlbr
-        out: List[Detection] = []
-        for i in range(b):
-            m = valid[i]
-            out.append(Detection(
-                bbox_tlbr=unmap(boxes[i][m], (h, w), self.net_hw),
-                class_prob=scores[i][m],
-                class_idx=classes[i][m],
-            ))
-        return out
+        return self._unpack(res, (h, w))
 
     def detect_mixed(self, frames: Sequence[np.ndarray]) -> List[Detection]:
         """Detect in a list of arbitrarily-sized HWC uint8 frames.
@@ -290,11 +300,20 @@ def detect_in_video(detector: Detector, filepath, class_names=None,
                     output_path=None, show: bool = False,
                     show_fps: bool = False, frame_batch: int = 1,
                     verbose: bool = False):
-    """Video-file detect loop (reference ``detect_in_video``, SURVEY.md §3.3):
-    sequential capture — every frame processed — with optional annotated
-    output video. ``frame_batch > 1`` batches consecutive frames through the
-    device pipeline for throughput (the TPU upgrade over the reference's
-    strict batch=1)."""
+    """Video-file streaming pipeline (BASELINE config #4; reference
+    ``detect_in_video``, SURVEY.md §3.3 — every frame processed, optional
+    annotated output video).
+
+    TPU-native structure (SURVEY.md §7 phase 4): a capture thread decodes
+    ahead into a bounded queue; the main thread assembles ``frame_batch``
+    frames, dispatches the device step **asynchronously** (JAX async
+    dispatch), and only materializes batch i's results after batch i+1 is
+    enqueued — device compute overlaps host decode/draw/encode. cv2 releases
+    the GIL inside native calls, so the threads genuinely overlap.
+    """
+    import queue as queue_mod
+    import threading
+
     import cv2
 
     from .utils.drawing import draw_boxes
@@ -303,44 +322,68 @@ def detect_in_video(detector: Detector, filepath, class_names=None,
     cap = cv2.VideoCapture(str(filepath))
     if not cap.isOpened():
         raise FileNotFoundError(f"could not open video {filepath}")
-    writer = None
     fps_in = cap.get(cv2.CAP_PROP_FPS) or 30.0
+
+    frame_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(4 * frame_batch, 8))
+
+    def _reader():
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frame_q.put(frame)
+        frame_q.put(None)  # EOF sentinel
+
+    threading.Thread(target=_reader, daemon=True).start()
+
+    writer = None
     fps = FPSCounter()
     shower = None
     if show:
         from .utils.video import VideoShower
 
         shower = VideoShower().start()
+
+    def _drain(frames, res):
+        nonlocal writer, n
+        dets = detector._unpack(res, (frames[0].shape[0], frames[0].shape[1]))
+        for frame, det in zip(frames, dets):
+            draw_boxes(frame, det, class_names=class_names)
+            fps.tick()
+            if show_fps:
+                fps.overlay(frame)
+            if writer is None and output_path:
+                writer = cv2.VideoWriter(
+                    str(output_path), cv2.VideoWriter_fourcc(*"mp4v"),
+                    fps_in, (frame.shape[1], frame.shape[0]))
+            if writer is not None:
+                writer.write(frame)
+            if shower is not None:
+                shower.frame = frame
+            n += 1
+
     n = 0
+    in_flight = None  # (frames, device NMSResult) not yet materialized
     try:
-        pending: List[np.ndarray] = []
         eof = False
         while not eof:
-            while len(pending) < frame_batch:
-                ok, frame = cap.read()
-                if not ok:
+            frames: List[np.ndarray] = []
+            while len(frames) < frame_batch:
+                item = frame_q.get()
+                if item is None:
                     eof = True
                     break
-                pending.append(frame)
-            if not pending:
-                break
-            batch = np.stack(pending)
-            dets = detector.detect_batch(batch)
-            for frame, det in zip(pending, dets):
-                draw_boxes(frame, det, class_names=class_names)
-                fps.tick()
-                if show_fps:
-                    fps.overlay(frame)
-                if writer is None and output_path:
-                    writer = cv2.VideoWriter(
-                        str(output_path), cv2.VideoWriter_fourcc(*"mp4v"),
-                        fps_in, (frame.shape[1], frame.shape[0]))
-                if writer is not None:
-                    writer.write(frame)
-                if shower is not None:
-                    shower.frame = frame
-                n += 1
-            pending.clear()
+                frames.append(item)
+            if frames:
+                batch = np.stack(frames)
+                b, h, w, _ = batch.shape
+                run = detector._pipeline(b, (h, w))
+                res = run(detector.net.params, jnp.asarray(batch))  # async
+                if in_flight is not None:
+                    _drain(*in_flight)  # materialize i while i+1 computes
+                in_flight = (frames[:len(frames)], res)
+        if in_flight is not None:
+            _drain(*in_flight)
     finally:
         cap.release()
         if writer is not None:
