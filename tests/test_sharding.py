@@ -98,6 +98,33 @@ def test_sharded_forward_only(tiny_setup):
     assert out.shape == (4, 375, 85)  # 3*(5²+10²) anchors at 160x160
 
 
+def test_detector_on_mesh(tiny_setup, cfg_paths, tmp_path):
+    """Detector(mesh=...) shards batches over devices and matches the
+    single-device detector, including the non-divisible-batch pad path."""
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.weights import random_raw, write_weights
+
+    g, _ = tiny_setup
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=0))
+
+    net_m = Darknet(cfg_paths["yolov3-tiny"]).load_weights(wpath)
+    det_m = Detector(net_m, prob_thresh=0.3, mesh=make_mesh(4),
+                     net_hw=(160, 160))
+    net_1 = Darknet(cfg_paths["yolov3-tiny"]).load_weights(wpath)
+    det_1 = Detector(net_1, prob_thresh=0.3, net_hw=(160, 160))
+
+    frames = np.random.default_rng(2).integers(
+        0, 256, (6, 96, 128, 3), dtype=np.uint8)  # 6 % 4 != 0 -> pad path
+    r_m = det_m.detect_batch(frames)
+    r_1 = det_1.detect_batch(frames)
+    assert len(r_m) == len(r_1) == 6
+    for a, b in zip(r_m, r_1):
+        np.testing.assert_array_equal(a.class_idx, b.class_idx)
+        np.testing.assert_allclose(a.bbox_tlbr, b.bbox_tlbr, atol=1e-3)
+
+
 def test_graft_entry_hooks():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

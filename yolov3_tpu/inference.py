@@ -56,7 +56,7 @@ class Detector:
     def __init__(self, net: Darknet, prob_thresh: float = 0.05,
                  iou_thresh: float = 0.3, resize_mode: str = "letterbox",
                  top_k: int = 512, bgr: bool = True,
-                 net_hw: Optional[Tuple[int, int]] = None):
+                 net_hw: Optional[Tuple[int, int]] = None, mesh=None):
         self.net = net
         self.prob_thresh = float(prob_thresh)
         self.iou_thresh = float(iou_thresh)
@@ -64,6 +64,14 @@ class Detector:
         self.top_k = int(top_k)
         self.bgr = bgr
         self.net_hw = tuple(net_hw) if net_hw else net.net_size
+        # batch-DP over a device mesh (SURVEY.md §2.15): params replicate
+        # once, every batch shards on its leading axis; single-device mesh
+        # degrades to identity so the code path is uniform
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel.sharding import shard_params
+
+            self.net.params = shard_params(self.net.params, mesh)
         self._pipelines: Dict[Tuple, callable] = {}
 
     def _pipeline(self, batch: int, src_hw: Tuple[int, int],
@@ -81,6 +89,16 @@ class Detector:
         mode = self.resize_mode
         prob, iou, top_k = self.prob_thresh, self.iou_thresh, self.top_k
         precision = self.net.precision
+
+        if self.mesh is not None:
+            from .parallel.sharding import sharded_pipeline
+
+            run = sharded_pipeline(graph, self.mesh, net_hw=net_hw,
+                                   prob_thresh=prob, iou_thresh=iou,
+                                   top_k=top_k, mode=mode,
+                                   precision=precision, bgr=bgr)
+            self._pipelines[key] = run
+            return run
 
         @jax.jit
         def run(params, frames_u8):
@@ -123,8 +141,22 @@ class Detector:
         if frames.ndim == 3:
             frames = frames[None]
         b, h, w, _ = frames.shape
-        res = self._pipeline(b, (h, w))(self.net.params, jnp.asarray(frames))
-        return self._unpack(res, (h, w))
+        n_real = b
+        if self.mesh is not None:
+            from .parallel.sharding import batch_sharding
+
+            n_dev = self.mesh.size
+            if b % n_dev:  # pad to a shardable batch, drop pad results
+                pad = n_dev - b % n_dev
+                frames = np.concatenate(
+                    [frames, np.zeros((pad, h, w, 3), frames.dtype)])
+                b += pad
+            device_frames = jax.device_put(jnp.asarray(frames),
+                                           batch_sharding(self.mesh, 4))
+        else:
+            device_frames = jnp.asarray(frames)
+        res = self._pipeline(b, (h, w))(self.net.params, device_frames)
+        return self._unpack(res, (h, w))[:n_real]
 
     def detect_mixed(self, frames: Sequence[np.ndarray]) -> List[Detection]:
         """Detect in a list of arbitrarily-sized HWC uint8 frames.
