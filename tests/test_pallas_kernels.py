@@ -49,6 +49,58 @@ def test_pallas_decode_exp_clamp(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
 
 
+@pytest.mark.parametrize("shape", [
+    (2, 8, 10, 128, 256),   # non-8-multiple W
+    (1, 19, 19, 256, 128),  # odd grid (608-stride-32 head size)
+    (1, 13, 13, 128, 384),  # c_out needing a non-256 tile
+])
+def test_pallas_conv_matches_xla(rng, shape):
+    from jax import lax
+
+    from yolov3_tpu.ops.pallas_conv import conv3x3_fused
+
+    b_, h, w_dim, ci, co = shape
+    x = jnp.asarray(rng.normal(0, 1, (b_, h, w_dim, ci)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.1, (3, 3, ci, co)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.1, (co,)).astype(np.float32))
+    ref = lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST) + bias
+    ref = jnp.where(ref > 0, ref, 0.1 * ref)
+    out = conv3x3_fused(x, w, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_pallas_conv_linear_activation(rng):
+    from jax import lax
+
+    from yolov3_tpu.ops.pallas_conv import conv3x3_fused
+
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 128)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.1, (3, 3, 128, 128)).astype(np.float32))
+    bias = jnp.zeros((128,), jnp.float32)
+    ref = lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST)
+    out = conv3x3_fused(x, w, bias, activation="linear", interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_pallas_conv_eligibility_gate():
+    from yolov3_tpu.ops.pallas_conv import supported
+
+    assert supported(3, 1, 256, 76, 76, "leaky")
+    assert not supported(1, 1, 256, 76, 76, "leaky")   # 1x1
+    assert not supported(3, 2, 256, 76, 76, "leaky")   # stride 2
+    assert not supported(3, 1, 3, 608, 608, "leaky")   # stem (Cin=3)
+    assert not supported(3, 1, 32, 304, 304, "leaky")  # Cin not 128-mult
+    assert not supported(3, 1, 256, 76, 76, "mish")
+
+
 def _rand_det(rng, n=300, classes=8):
     cx = rng.uniform(0, 416, (n, 1))
     cy = rng.uniform(0, 416, (n, 1))

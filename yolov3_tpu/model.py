@@ -40,7 +40,14 @@ _PRECISIONS = {
 
 
 def _conv(x: jax.Array, w: jax.Array, b: jax.Array, node: Node,
-          precision) -> jax.Array:
+          precision, conv_impl: str = "xla") -> jax.Array:
+    if conv_impl == "pallas":
+        from .ops.pallas_conv import conv3x3_fused, supported
+
+        if node.pad and supported(node.size, node.stride, w.shape[2],
+                                  x.shape[1], x.shape[2], node.activation):
+            return conv3x3_fused(x, w.astype(x.dtype), b,
+                                 activation=node.activation)
     pad = node.size // 2 if node.pad else 0
     y = lax.conv_general_dilated(
         x, w.astype(x.dtype),
@@ -81,10 +88,12 @@ def forward_features(
     params: Dict[int, Dict[str, jax.Array]],
     x: jax.Array,
     precision: Optional[str] = None,
+    conv_impl: str = "xla",
 ) -> List[jax.Array]:
     """Walk the graph; return the raw NHWC feature map feeding each yolo head.
 
-    ``x``: (B, H, W, C) float input in [0, 1].
+    ``x``: (B, H, W, C) float input in [0, 1]. ``conv_impl="pallas"`` routes
+    eligible 3×3/s1 convs through the fused Pallas kernel (ops/pallas_conv).
     """
     prec = _PRECISIONS[precision]
     needed = graph.needed_outputs
@@ -97,7 +106,7 @@ def forward_features(
     for node in graph.nodes:
         if node.kind == "convolutional":
             p = params[node.index]
-            out = _conv(prev, p["w"], p["b"], node, prec)
+            out = _conv(prev, p["w"], p["b"], node, prec, conv_impl)
         elif node.kind == "maxpool":
             out = _maxpool(prev, node)
         elif node.kind == "upsample":

@@ -1,0 +1,145 @@
+"""Pallas TPU kernel: fused 3×3/stride-1 conv + bias + LeakyReLU.
+
+The north star names the hot conv+BN+LeakyReLU blocks as Pallas-fusion
+targets (BN is already folded into the weights at load, so the fused op is
+conv+bias+leaky). This kernel covers the layers where YOLOv3's FLOPs live —
+the 3×3 stride-1 SAME convs of the residual stages and heads (Cin ≥ 128) —
+and is selectable per-model via ``conv_impl="pallas"``; everything else
+(1×1s, stride-2 downsamples, the 3-channel stem) stays on XLA's conv.
+
+Design notes (Mosaic constraints drive the layout):
+
+* VMEM slices must be 8-aligned along the sublane dim, so shifted (halo)
+  windows can't be cut from one resident slab. Instead each of the 9 taps is
+  its own **HBM→VMEM DMA** (DMA engines handle unaligned sources); all nine
+  start up front and each is awaited right before its matmul, so later
+  transfers overlap earlier compute.
+* W pads to a multiple of 8 (``W8``) and H to a multiple of the row tile, so
+  every in-kernel reshape is layout-free and the output block is fully
+  aligned; the padded result is sliced back to (H, W) by XLA outside.
+* taps reshape to ``(TH·W8, Cin)`` and hit the MXU against ``(Cin, TCout)``
+  weight blocks with fp32 accumulation; bias + LeakyReLU + downcast run
+  in-register before the single output write.
+
+SURVEY.md §7 ranks this the lowest-certainty perf item (XLA's conv is a tuned
+library op); it ships behind a flag with an honest microbenchmark in
+``tools/bench_pallas_conv.py``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def supported(node_size: int, node_stride: int, c_in: int, h: int, w: int,
+              activation: str) -> bool:
+    return (node_size == 3 and node_stride == 1 and c_in % 128 == 0
+            and activation in ("leaky", "linear"))
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pick_tiles(h: int, w8: int, c_in: int, c_out: int, itemsize: int):
+    """Row tile + cout tile under the VMEM budget. tc must divide c_out."""
+    tc = c_out
+    for cand in (256, 128, 64, 32):
+        if c_out >= cand and c_out % cand == 0:
+            tc = cand
+            break
+    for th in (16, 8, 4, 2, 1):
+        taps = 9 * th * w8 * c_in * itemsize
+        wblk = 9 * c_in * tc * itemsize
+        acc = th * w8 * tc * 4
+        out = th * w8 * tc * itemsize
+        if taps + wblk + acc + out <= _VMEM_BUDGET:
+            return th, tc
+    return 1, tc
+
+
+def _conv3x3_kernel(x_hbm, w_ref, b_ref, o_ref, taps_ref, acc_ref, sems,
+                    *, th, w8, c_in, leaky: bool, out_dtype):
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+
+    def tap_dma(k):
+        ky, kx = k // 3, k % 3
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(hi * th + ky, th), pl.ds(kx, w8), :],
+            taps_ref.at[k], sems.at[k])
+
+    for k in range(9):
+        tap_dma(k).start()
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for k in range(9):
+        tap_dma(k).wait()
+        patch = taps_ref[k].reshape(th * w8, c_in)
+        acc_ref[:] += jnp.dot(patch, w_ref[k * c_in:(k + 1) * c_in, :],
+                              preferred_element_type=jnp.float32)
+    y = acc_ref[:] + b_ref[0:1, :]
+    if leaky:
+        y = jnp.where(y > 0, y, 0.1 * y)
+    o_ref[:] = y.reshape(th, w8, -1).astype(out_dtype)
+
+
+def conv3x3_fused(x: jax.Array, w_hwio: jax.Array, b: jax.Array,
+                  activation: str = "leaky", interpret: bool = False
+                  ) -> jax.Array:
+    """Fused 3×3 s1 SAME conv + bias + activation.
+
+    x: (B, H, W, Cin) with Cin % 128 == 0; w: (3, 3, Cin, Cout); b: (Cout,).
+    Matches ``lax.conv_general_dilated`` + bias + leaky to fp32-accumulation
+    accuracy. Output dtype follows x.
+    """
+    batch, h, w_dim, c_in = x.shape
+    c_out = w_hwio.shape[3]
+    w8 = _round_up(w_dim, 8)
+    th, tc = _pick_tiles(h, w8, c_in, c_out, x.dtype.itemsize)
+    hp = _round_up(h, th)
+
+    # pad: +1 halo each side in H/W, then up to (Hp+2, W8+2) so every tap DMA
+    # window (th rows × w8 cols) is in-bounds at any (ky, kx) offset
+    xp = jnp.pad(x, ((0, 0), (1, hp - h + 1), (1, w8 - w_dim + 1), (0, 0)))
+    w_flat = w_hwio.reshape(9 * c_in, c_out).astype(x.dtype)
+    b_pad = jnp.broadcast_to(b.astype(jnp.float32), (8, c_out))
+
+    kernel = partial(_conv3x3_kernel, th=th, w8=w8, c_in=c_in,
+                     leaky=(activation == "leaky"), out_dtype=x.dtype)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, hp, w8, c_out), x.dtype),
+        grid=(batch, hp // th, c_out // tc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # manual per-tap DMA
+            pl.BlockSpec((9 * c_in, tc), lambda bi, hi, ci: (0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tc), lambda bi, hi, ci: (0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, th, w8, tc),
+                               lambda bi, hi, ci: (bi, hi, 0, ci),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((9, th, w8, c_in), x.dtype),
+            pltpu.VMEM((th * w8, tc), jnp.float32),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * c_in * tc * th * w8,
+            bytes_accessed=9 * th * w8 * c_in * x.dtype.itemsize
+            + 9 * c_in * tc * x.dtype.itemsize
+            + th * w8 * tc * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, w_flat, b_pad)
+    return out[:, :h, :w_dim, :]
