@@ -111,6 +111,31 @@ def test_cli_rejects_multiple_sources(tiny_weights, sample_images, cfg_paths):
               "--config", cfg_paths["yolov3-tiny"], "--weights", tiny_weights])
 
 
+def test_cam_loop_headless_with_file_source(tiny_weights, cfg_paths, tmp_path):
+    """Webcam loop driven by a file 'camera', headless (no shower thread);
+    exits on EOF; frame-dropping (latest-wins) means processed ≤ total."""
+    import cv2
+
+    from yolov3_tpu.inference import Detector, detect_in_cam
+    from yolov3_tpu.model import Darknet
+
+    src = tmp_path / "cam.avi"
+    w = cv2.VideoWriter(str(src), cv2.VideoWriter_fourcc(*"MJPG"), 30.0,
+                        (320, 240))
+    rng = np.random.default_rng(4)
+    for _ in range(30):
+        w.write(rng.integers(0, 256, (240, 320, 3), dtype=np.uint8))
+    w.release()
+
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(tiny_weights)
+    det = Detector(net, prob_thresh=0.3, net_hw=(160, 160))
+    out = tmp_path / "cam_out.avi"
+    n = detect_in_cam(det, str(src), show=False, output_path=str(out),
+                      show_fps=True, max_frames=50)
+    assert 1 <= n <= 30
+    assert out.exists()
+
+
 def test_detector_jit_cache_reuse(tiny_weights, cfg_paths):
     from yolov3_tpu.inference import Detector
     from yolov3_tpu.model import Darknet

@@ -1,0 +1,204 @@
+"""COCO-style detection evaluation: mAP@0.5 and mAP@[0.5:0.95].
+
+Pure numpy (no pycocotools dependency). Feed a COCO-format annotation JSON +
+an image directory; runs the batched Detector and scores it. Usable for the
+north-star COCO-val parity check once real weights/data are mounted (this
+container is zero-egress, so CI covers the metric math on synthetic data —
+see tests/test_eval.py).
+
+    python tools/eval_coco.py --images val2017/ --annotations instances_val2017.json \
+        --config models/yolov3.cfg --weights yolov3.weights [--limit 500]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def box_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """IoU between (N, 4) and (M, 4) tlbr boxes → (N, M)."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    tl = np.maximum(a[:, None, :2], b[None, :, :2])
+    br = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(br - tl, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = np.prod(np.clip(a[:, 2:] - a[:, :2], 0, None), axis=1)
+    area_b = np.prod(np.clip(b[:, 2:] - b[:, :2], 0, None), axis=1)
+    return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-9)
+
+
+def average_precision(scores, matched, n_gt: int) -> float:
+    """COCO-style 101-point interpolated AP for one class/threshold.
+
+    scores: (N,) detection confidences; matched: (N,) bool true-positive
+    flags (each GT matched at most once, greedy by score); n_gt: GT count.
+    """
+    if n_gt == 0:
+        return float("nan")
+    if len(scores) == 0:
+        return 0.0
+    order = np.argsort(-scores, kind="stable")
+    tp = np.asarray(matched, dtype=np.float64)[order]
+    fp = 1.0 - tp
+    tp_cum = np.cumsum(tp)
+    fp_cum = np.cumsum(fp)
+    recall = tp_cum / n_gt
+    precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
+    # precision envelope + 101-point sampling (COCO convention)
+    for i in range(len(precision) - 2, -1, -1):
+        precision[i] = max(precision[i], precision[i + 1])
+    recall_points = np.linspace(0, 1, 101)
+    idx = np.searchsorted(recall, recall_points, side="left")
+    prec_at = np.where(idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0)
+    return float(prec_at.mean())
+
+
+def match_detections(det_boxes, det_scores, gt_boxes, iou_thresh):
+    """Greedy score-ordered matching; returns (N,) bool matched flags."""
+    matched = np.zeros(len(det_boxes), dtype=bool)
+    if len(gt_boxes) == 0 or len(det_boxes) == 0:
+        return matched
+    iou = box_iou_matrix(np.asarray(det_boxes), np.asarray(gt_boxes))
+    taken = np.zeros(len(gt_boxes), dtype=bool)
+    for i in np.argsort(-np.asarray(det_scores), kind="stable"):
+        j = int(np.argmax(iou[i] * ~taken))
+        if iou[i, j] >= iou_thresh and not taken[j]:
+            matched[i] = True
+            taken[j] = True
+    return matched
+
+
+def evaluate(detections, ground_truth, iou_thresholds=None):
+    """detections / ground_truth: {image_id: {class_id: (boxes, scores?)}}.
+
+    detections[img][cls] = (boxes (N,4) tlbr, scores (N,));
+    ground_truth[img][cls] = boxes (M,4) tlbr.
+    Returns dict with per-class AP@0.5, mAP@0.5 and mAP@[.5:.95].
+    """
+    if iou_thresholds is None:
+        iou_thresholds = np.arange(0.5, 1.0, 0.05)
+    classes = sorted({c for g in ground_truth.values() for c in g}
+                     | {c for d in detections.values() for c in d})
+    ap_per_class = {}
+    for cls in classes:
+        aps = []
+        for thr in iou_thresholds:
+            scores_all, matched_all, n_gt = [], [], 0
+            for img, gts in ground_truth.items():
+                gt = np.asarray(gts.get(cls, np.zeros((0, 4))))
+                n_gt += len(gt)
+                det = detections.get(img, {}).get(cls)
+                if det is None:
+                    continue
+                boxes, scores = det
+                m = match_detections(boxes, scores, gt, thr)
+                scores_all.append(np.asarray(scores))
+                matched_all.append(m)
+            # detections on images with no GT entry at all are false positives
+            for img, dets in detections.items():
+                if img not in ground_truth and cls in dets:
+                    boxes, scores = dets[cls]
+                    scores_all.append(np.asarray(scores))
+                    matched_all.append(np.zeros(len(scores), dtype=bool))
+            scores_cat = np.concatenate(scores_all) if scores_all else np.zeros(0)
+            matched_cat = (np.concatenate(matched_all) if matched_all
+                           else np.zeros(0, dtype=bool))
+            aps.append(average_precision(scores_cat, matched_cat, n_gt))
+        ap_per_class[cls] = aps
+    valid = [c for c in classes if not np.isnan(ap_per_class[c][0])]
+    map50 = float(np.mean([ap_per_class[c][0] for c in valid])) if valid else 0.0
+    map5095 = (float(np.mean([np.nanmean(ap_per_class[c]) for c in valid]))
+               if valid else 0.0)
+    return {"AP50_per_class": {c: ap_per_class[c][0] for c in classes},
+            "mAP50": map50, "mAP50_95": map5095}
+
+
+def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
+                      iou_thresh=0.45, batch_size=16, limit=None,
+                      precision=None):
+    import cv2
+
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+
+    coco = json.loads(Path(ann_path).read_text())
+    # COCO category ids are sparse; map to contiguous darknet class indices
+    cat_ids = sorted({c["id"] for c in coco["categories"]})
+    cat_to_idx = {cid: i for i, cid in enumerate(cat_ids)}
+
+    gt = defaultdict(lambda: defaultdict(list))
+    for ann in coco["annotations"]:
+        if ann.get("iscrowd"):
+            continue
+        x, y, w, h = ann["bbox"]
+        gt[ann["image_id"]][cat_to_idx[ann["category_id"]]].append(
+            [x, y, x + w, y + h])
+    images = coco["images"][:limit] if limit else coco["images"]
+
+    net = Darknet(cfg, precision=precision).load_weights(weights)
+    det = Detector(net, prob_thresh=prob_thresh, iou_thresh=iou_thresh,
+                   top_k=512)
+
+    detections = {}
+    frames, metas = [], []
+
+    def flush():
+        if not frames:
+            return
+        results = det.detect_mixed(frames)
+        for (img_id,), r in zip(metas, results):
+            by_cls = defaultdict(lambda: ([], []))
+            for box, score, cls in zip(r.bbox_tlbr, r.class_prob, r.class_idx):
+                by_cls[int(cls)][0].append(box)
+                by_cls[int(cls)][1].append(float(score))
+            detections[img_id] = {
+                c: (np.asarray(b), np.asarray(s)) for c, (b, s) in by_cls.items()}
+        frames.clear()
+        metas.clear()
+
+    for info in images:
+        path = Path(images_dir) / info["file_name"]
+        frame = cv2.imread(str(path))
+        if frame is None:
+            continue
+        frames.append(frame)
+        metas.append((info["id"],))
+        if len(frames) >= batch_size:
+            flush()
+    flush()
+
+    gt_np = {img: {c: np.asarray(b) for c, b in cls.items()}
+             for img, cls in gt.items() if img in detections or True}
+    return evaluate(detections, gt_np)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", required=True)
+    ap.add_argument("--annotations", required=True)
+    ap.add_argument("--config", default="models/yolov3.cfg")
+    ap.add_argument("--weights", required=True)
+    ap.add_argument("--prob-thresh", type=float, default=0.005)
+    ap.add_argument("--iou-thresh", type=float, default=0.45)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--precision", default=None)
+    args = ap.parse_args()
+
+    res = run_model_on_coco(args.images, args.annotations, args.config,
+                            args.weights, args.prob_thresh, args.iou_thresh,
+                            args.batch_size, args.limit, args.precision)
+    print(json.dumps({"mAP50": round(res["mAP50"], 4),
+                      "mAP50_95": round(res["mAP50_95"], 4)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -127,8 +127,10 @@ def main(argv=None) -> int:
                         show_fps=args.show_fps, frame_batch=args.frame_batch,
                         verbose=True)
     else:
-        detect_in_cam(detector, int(args.cam), class_names=class_names,
-                      show_fps=args.show_fps, output_path=args.output)
+        cam = int(args.cam) if str(args.cam).isdigit() else args.cam
+        detect_in_cam(detector, cam, class_names=class_names,
+                      show_fps=args.show_fps, output_path=args.output,
+                      show=not args.no_show)
     return 0
 
 

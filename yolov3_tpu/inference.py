@@ -427,11 +427,14 @@ def detect_in_video(detector: Detector, filepath, class_names=None,
     return n
 
 
-def detect_in_cam(detector: Detector, cam_id: int = 0, class_names=None,
-                  show_fps: bool = False, output_path=None):
+def detect_in_cam(detector: Detector, cam_id=0, class_names=None,
+                  show_fps: bool = False, output_path=None,
+                  show: bool = True, max_frames: Optional[int] = None):
     """Real-time webcam loop (reference ``detect_in_cam``, SURVEY.md §3.2):
     getter thread (latest-frame-wins, deliberately dropping frames) → device
-    pipeline → shower thread."""
+    pipeline → shower thread. ``cam_id`` may be a device index or any
+    cv2-openable source (file/URL); ``show=False`` runs headless;
+    ``max_frames`` bounds the loop (tests/capture sessions)."""
     import cv2
 
     from .utils.drawing import draw_boxes
@@ -439,12 +442,15 @@ def detect_in_cam(detector: Detector, cam_id: int = 0, class_names=None,
     from .utils.video import VideoGetter, VideoShower
 
     getter = VideoGetter(cam_id).start()
-    shower = VideoShower(window_name="yolov3-tpu").start()
+    shower = VideoShower(window_name="yolov3-tpu").start() if show else None
     fps = FPSCounter()
     writer = None
     frames_out = []
+    n_done = 0
     try:
-        while not getter.stopped and not shower.stopped:
+        while (not getter.stopped
+               and (shower is None or not shower.stopped)
+               and (max_frames is None or n_done < max_frames)):
             frame = getter.frame
             if frame is None:
                 time.sleep(0.005)
@@ -457,12 +463,15 @@ def detect_in_cam(detector: Detector, cam_id: int = 0, class_names=None,
                 fps.overlay(frame)
             if output_path:
                 frames_out.append(frame)
-            shower.frame = frame
+            if shower is not None:
+                shower.frame = frame
+            n_done += 1
     except KeyboardInterrupt:
         pass
     finally:
         getter.stop()
-        shower.stop()
+        if shower is not None:
+            shower.stop()
         if output_path and frames_out:
             h, w = frames_out[0].shape[:2]
             writer = cv2.VideoWriter(str(output_path),
@@ -471,3 +480,4 @@ def detect_in_cam(detector: Detector, cam_id: int = 0, class_names=None,
             for f in frames_out:
                 writer.write(f)
             writer.release()
+    return n_done

@@ -65,15 +65,20 @@ def _pick_tiles(h: int, w8: int, c_in: int, c_out: int, itemsize: int):
     return 1, tc
 
 
-def _conv3x3_kernel(x_hbm, w_ref, b_ref, o_ref, taps_ref, acc_ref, sems,
-                    *, th, w8, c_in, leaky: bool, out_dtype):
+def _conv3x3_kernel(x0_hbm, x1_hbm, x2_hbm, w_ref, b_ref, o_ref, taps_ref,
+                    acc_ref, sems, *, th, w8, c_in, leaky: bool, out_dtype):
+    # x{0,1,2}_hbm: the three column-shifted copies (B, Hp+2, W8, Cin); the
+    # row (ky) shift rides the DMA offset on a MAJOR dim — Mosaic requires
+    # 8-aligned offsets on the two minor dims even for HBM DMA sources, so
+    # the kx shift can't be a runtime slice and is materialized host-side
     bi = pl.program_id(0)
     hi = pl.program_id(1)
+    xs = (x0_hbm, x1_hbm, x2_hbm)
 
     def tap_dma(k):
         ky, kx = k // 3, k % 3
         return pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(hi * th + ky, th), pl.ds(kx, w8), :],
+            xs[kx].at[bi, pl.ds(hi * th + ky, th), :, :],
             taps_ref.at[k], sems.at[k])
 
     for k in range(9):
@@ -107,8 +112,10 @@ def conv3x3_fused(x: jax.Array, w_hwio: jax.Array, b: jax.Array,
     hp = _round_up(h, th)
 
     # pad: +1 halo each side in H/W, then up to (Hp+2, W8+2) so every tap DMA
-    # window (th rows × w8 cols) is in-bounds at any (ky, kx) offset
+    # window (th rows × w8 cols) is in-bounds at any (ky, kx) offset; the
+    # three kx shifts materialize as copies (cheap bandwidth vs the matmuls)
     xp = jnp.pad(x, ((0, 0), (1, hp - h + 1), (1, w8 - w_dim + 1), (0, 0)))
+    x_shift = [xp[:, :, kx:kx + w8, :] for kx in range(3)]
     w_flat = w_hwio.reshape(9 * c_in, c_out).astype(x.dtype)
     b_pad = jnp.broadcast_to(b.astype(jnp.float32), (8, c_out))
 
@@ -119,7 +126,9 @@ def conv3x3_fused(x: jax.Array, w_hwio: jax.Array, b: jax.Array,
         out_shape=jax.ShapeDtypeStruct((batch, hp, w8, c_out), x.dtype),
         grid=(batch, hp // th, c_out // tc),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # manual per-tap DMA
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((9 * c_in, tc), lambda bi, hi, ci: (0, ci),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tc), lambda bi, hi, ci: (0, ci),
@@ -141,5 +150,5 @@ def conv3x3_fused(x: jax.Array, w_hwio: jax.Array, b: jax.Array,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xp, w_flat, b_pad)
+    )(x_shift[0], x_shift[1], x_shift[2], w_flat, b_pad)
     return out[:, :h, :w_dim, :]

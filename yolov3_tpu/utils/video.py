@@ -59,14 +59,19 @@ class VideoShower:
     def _run(self):
         import cv2
 
-        while not self.stopped:
-            if self.frame is None:
-                time.sleep(0.005)
-                continue
-            cv2.imshow(self.window_name, self.frame)
-            if cv2.waitKey(1) & 0xFF == ord("q"):
-                self.stopped = True
-        cv2.destroyWindow(self.window_name)
+        try:
+            while not self.stopped:
+                if self.frame is None:
+                    time.sleep(0.005)
+                    continue
+                cv2.imshow(self.window_name, self.frame)
+                if cv2.waitKey(1) & 0xFF == ord("q"):
+                    self.stopped = True
+            cv2.destroyWindow(self.window_name)
+        except cv2.error:
+            # headless environment (no display): stop cleanly instead of
+            # dying silently and stranding the detect loop
+            self.stopped = True
 
     def stop(self):
         self.stopped = True
