@@ -92,8 +92,8 @@ def measure_torch_cpu(graph, raw, size, batch, iters):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=608)
-    ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--cfg", default="yolov3.cfg")
     ap.add_argument("--quick", action="store_true",
                     help="tiny model, small batch (smoke check)")

@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="static NMS candidate cap per image")
     p.add_argument("--cache-params", action="store_true",
                    help="cache converted/folded params on disk for fast reload")
+    p.add_argument("--conv-impl", choices=("xla", "pallas"), default="xla",
+                   help="conv backend for eligible 3x3 layers")
+    p.add_argument("--nms-impl", choices=("xla", "pallas"), default="xla",
+                   help="NMS suppression backend")
     return p
 
 
@@ -88,7 +92,7 @@ def main(argv=None) -> int:
     from .utils.drawing import load_class_names
 
     precision = None if args.precision == "default" else args.precision
-    net = Darknet(args.config, precision=precision)
+    net = Darknet(args.config, precision=precision, conv_impl=args.conv_impl)
     if args.verbose:
         print(f"loaded {net.graph.name}: {len(net.graph.nodes)} layers, "
               f"net {net.net_size[1]}x{net.net_size[0]}, "
@@ -99,7 +103,7 @@ def main(argv=None) -> int:
     detector = Detector(net, prob_thresh=args.prob_thresh,
                         iou_thresh=args.iou_thresh,
                         resize_mode=args.resize_mode, top_k=args.top_k,
-                        net_hw=net_hw)
+                        net_hw=net_hw, nms_impl=args.nms_impl)
     class_names = (load_class_names(args.class_names)
                    if Path(args.class_names).exists() else None)
 

@@ -56,13 +56,15 @@ class Detector:
     def __init__(self, net: Darknet, prob_thresh: float = 0.05,
                  iou_thresh: float = 0.3, resize_mode: str = "letterbox",
                  top_k: int = 512, bgr: bool = True,
-                 net_hw: Optional[Tuple[int, int]] = None, mesh=None):
+                 net_hw: Optional[Tuple[int, int]] = None, mesh=None,
+                 nms_impl: str = "xla"):
         self.net = net
         self.prob_thresh = float(prob_thresh)
         self.iou_thresh = float(iou_thresh)
         self.resize_mode = resize_mode
         self.top_k = int(top_k)
         self.bgr = bgr
+        self.nms_impl = nms_impl
         self.net_hw = tuple(net_hw) if net_hw else net.net_size
         # batch-DP over a device mesh (SURVEY.md §2.15): params replicate
         # once, every batch shards on its leading axis; single-device mesh
@@ -89,6 +91,8 @@ class Detector:
         mode = self.resize_mode
         prob, iou, top_k = self.prob_thresh, self.iou_thresh, self.top_k
         precision = self.net.precision
+        conv_impl = self.net.conv_impl
+        nms_impl = self.nms_impl
 
         if self.mesh is not None:
             from .parallel.sharding import sharded_pipeline
@@ -108,10 +112,11 @@ class Detector:
             # compact path: decode + score/class reduction fuse with the
             # heads; the (B, N, 5+C) tensor never reaches HBM
             boxes, scores, classes = forward_compact(graph, params, x,
-                                                     precision=precision)
+                                                     precision=precision,
+                                                     conv_impl=conv_impl)
             return batched_nms_compact(boxes, scores, classes,
                                        prob_thresh=prob, iou_thresh=iou,
-                                       top_k=top_k)
+                                       top_k=top_k, impl=nms_impl)
 
         self._pipelines[key] = run
         return run

@@ -132,6 +132,7 @@ def forward(
     params: Dict[int, Dict[str, jax.Array]],
     x: jax.Array,
     precision: Optional[str] = None,
+    conv_impl: str = "xla",
 ) -> jax.Array:
     """Full decoded forward: (B, H, W, C) → (B, N, 5+C) net-pixel detections.
 
@@ -139,7 +140,7 @@ def forward(
     (SURVEY.md §2.4): center-xywh in network-input pixels, sigmoid objectness
     and class scores, heads concatenated coarse→fine in cfg order.
     """
-    heads = forward_features(graph, params, x, precision)
+    heads = forward_features(graph, params, x, precision, conv_impl)
     heads = [h.astype(jnp.float32) for h in heads]  # decode math is fp32
     yolo_nodes = graph.yolo_nodes
     return decode_all(
@@ -155,6 +156,7 @@ def forward_compact(
     params: Dict[int, Dict[str, jax.Array]],
     x: jax.Array,
     precision: Optional[str] = None,
+    conv_impl: str = "xla",
 ):
     """Serving-path forward: (B, H, W, C) → (boxes (B,N,4) tlbr, scores (B,N),
     classes (B,N)). Skips materializing the (B, N, 5+C) tensor entirely —
@@ -162,7 +164,7 @@ def forward_compact(
     (see ``ops.decode.decode_compact``)."""
     from .ops.decode import decode_compact
 
-    heads = forward_features(graph, params, x, precision)
+    heads = forward_features(graph, params, x, precision, conv_impl)
     yolo_nodes = graph.yolo_nodes
     return decode_compact(
         heads,
@@ -180,11 +182,12 @@ class Darknet:
     out of re-jit + cache (SURVEY.md §5.7)."""
 
     def __init__(self, cfg_path, precision: Optional[str] = None,
-                 param_dtype=None):
+                 param_dtype=None, conv_impl: str = "xla"):
         from .graph import load_graph
 
         self.graph = load_graph(cfg_path)
         self.precision = precision
+        self.conv_impl = conv_impl
         if param_dtype is None:
             param_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
         self.param_dtype = jnp.dtype(param_dtype)
@@ -223,7 +226,8 @@ class Darknet:
         key = (tuple(shape), jnp.dtype(dtype).name)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(
-                partial(forward, self.graph, precision=self.precision)
+                partial(forward, self.graph, precision=self.precision,
+                        conv_impl=self.conv_impl)
             )
         return self._jitted[key]
 
