@@ -174,6 +174,21 @@ def test_detect_mixed_matches_detect_batch(tiny_weights, cfg_paths):
         assert abs(len(m.bbox_tlbr) - len(s.bbox_tlbr)) <= max(2, n // 5)
 
 
+def test_detector_warmup(tiny_weights, cfg_paths):
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(tiny_weights)
+    det = Detector(net, prob_thresh=0.3, net_hw=(160, 160))
+    det.warmup(2, (240, 320))
+    assert len(det._pipelines) == 1
+    det.warmup(4, (480, 640), host_preprocessed=True)
+    assert len(det._pipelines) == 2
+    # a real request on the warmed bucket adds no executable
+    det.detect_batch(np.zeros((2, 240, 320, 3), dtype=np.uint8))
+    assert len(det._pipelines) == 2
+
+
 def test_inference_reference_api(tiny_weights, cfg_paths):
     """inference(net, frame) returns (bbox_tlbr, class_prob, class_idx)."""
     from yolov3_tpu.inference import inference

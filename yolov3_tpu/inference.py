@@ -210,6 +210,19 @@ class Detector:
             ))
         return out
 
+    def warmup(self, batch: int, src_hw: Tuple[int, int],
+               host_preprocessed: bool = False) -> "Detector":
+        """Pre-compile + execute the pipeline for a (batch, source-shape)
+        bucket before traffic arrives (first compile is tens of seconds on
+        TPU; serving should not pay it on the first request)."""
+        shape_hw = self.net_hw if host_preprocessed else src_hw
+        frames = np.zeros((batch, *shape_hw, 3), dtype=np.uint8)
+        if host_preprocessed:
+            self.detect_preletterboxed(frames, [src_hw] * batch)
+        else:
+            self.detect_batch(frames)
+        return self
+
     def __call__(self, frames) -> List[Detection]:
         return self.detect_batch(np.asarray(frames))
 
