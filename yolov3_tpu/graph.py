@@ -14,9 +14,9 @@ also consumed by the in-repo torch parity harness (``tools/torch_ref.py``).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import List, Sequence, Tuple, Union
+from typing import List, Tuple, Union
 
 from .config import Block, layer_blocks, net_options, parse_config
 

@@ -20,7 +20,6 @@ from __future__ import annotations
 import logging
 import time
 from dataclasses import dataclass
-from functools import partial
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -31,8 +30,8 @@ log = logging.getLogger("yolov3_tpu")
 import jax
 import jax.numpy as jnp
 
-from .model import Darknet, forward, forward_compact
-from .ops.nms import batched_nms, batched_nms_compact
+from .model import Darknet, forward_compact
+from .ops.nms import batched_nms_compact
 from .ops.preprocess import preprocess
 from .utils.boxes import unletterbox_tlbr, unstretch_tlbr
 

@@ -21,7 +21,7 @@ fast path for throughput.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

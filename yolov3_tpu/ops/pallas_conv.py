@@ -28,7 +28,6 @@ library op); it ships behind a flag with an honest microbenchmark in
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
