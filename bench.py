@@ -67,6 +67,46 @@ def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
     return frames.shape[0] * iters / dt
 
 
+def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05):
+    """int8 PTQ path (calibrated on random frames — throughput-only here;
+    accuracy calibration uses real images via Darknet.quantize_int8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolov3_tpu.ops.nms import batched_nms_compact
+    from yolov3_tpu.ops.preprocess import preprocess
+    from yolov3_tpu.quant import (calibrate, forward_compact_int8,
+                                  quantize_weights)
+
+    net_hw = (frames.shape[1], frames.shape[2])
+    dev_params = jax.device_put(jax.tree.map(jnp.asarray, params))
+    rng = np.random.default_rng(3)
+    calib = [preprocess(jnp.asarray(
+        rng.integers(0, 256, (8, *net_hw, 3), dtype=np.uint8)), net_hw)]
+    scales = calibrate(graph, dev_params, calib, precision="bf16")
+    qparams = jax.device_put(quantize_weights(graph, dev_params))
+
+    @jax.jit
+    def run(qparams, frames_u8):
+        x = preprocess(frames_u8[..., ::-1], net_hw)
+        boxes, scores, classes = forward_compact_int8(
+            graph, qparams, scales, x, precision="bf16")
+        res = batched_nms_compact(boxes, scores, classes,
+                                  prob_thresh=prob_thresh)
+        return jnp.sum(res.scores), jnp.sum(res.valid)
+
+    rng = np.random.default_rng(7)
+    batches = [jnp.asarray(rng.integers(0, 256, frames.shape, dtype=np.uint8))
+               for _ in range(iters)]
+    float(run(qparams, batches[0])[0])
+    float(run(qparams, batches[-1])[0])
+    t0 = time.perf_counter()
+    outs = [run(qparams, b) for b in batches]
+    for o in outs:
+        float(o[0])
+    return frames.shape[0] * iters / (time.perf_counter() - t0)
+
+
 def measure_torch_cpu(graph, raw, size, batch, iters):
     """Reference-equivalent pipeline: torch forward + host numpy NMS."""
     import torch
@@ -100,10 +140,11 @@ def main():
     ap.add_argument("--remeasure-baseline", action="store_true")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the timed loop")
-    ap.add_argument("--precision", choices=("default", "highest", "bf16"),
+    ap.add_argument("--precision", choices=("default", "highest", "bf16",
+                                            "int8"),
                     default="bf16",
-                    help="serving precision (bf16 = production fast path; "
-                         "box parity vs fp32 is checked in tests)")
+                    help="serving precision (bf16 = production default; int8 "
+                         "= PTQ fast path; box parity is checked in tests)")
     args = ap.parse_args()
 
     if args.quick:
@@ -134,15 +175,19 @@ def main():
         params = {k: {n: np.asarray(v, dtype=jnp.bfloat16)
                       for n, v in p.items()} for k, p in params.items()}
 
+    measure = measure_tpu
+    if precision == "int8":
+        measure = lambda g, p, f, i, precision=None: measure_tpu_int8(g, p, f, i)  # noqa: E731
+
     if args.profile:
         import jax
 
         with jax.profiler.trace(args.profile):
-            tpu_ips = measure_tpu(graph, params, frames, args.iters,
-                                  precision=precision)
-    else:
-        tpu_ips = measure_tpu(graph, params, frames, args.iters,
+            tpu_ips = measure(graph, params, frames, args.iters,
                               precision=precision)
+    else:
+        tpu_ips = measure(graph, params, frames, args.iters,
+                          precision=precision)
 
     key = f"{graph.name}@{args.size}"
     cache = {}

@@ -1,0 +1,115 @@
+"""int8 PTQ tests: weight-quant algebra, calibration, box parity vs fp32,
+and Detector integration.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolov3_tpu.graph import load_graph
+from yolov3_tpu.model import forward_compact
+from yolov3_tpu.ops.nms import batched_nms_compact
+from yolov3_tpu.quant import (calibrate, eligible, forward_compact_int8,
+                              quantize_weights)
+from yolov3_tpu.weights import fold_raw, random_raw
+
+
+@pytest.fixture(scope="module")
+def setup(cfg_paths):
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    params = jax.tree.map(jnp.asarray, fold_raw(random_raw(g, seed=3)))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 416, 416, 3)).astype(np.float32))
+    return g, params, x
+
+
+def test_eligibility(setup):
+    g, _, _ = setup
+    flags = {n.index: eligible(g, n) for n in g.conv_nodes}
+    assert not flags[0]           # stem (Cin=3)
+    assert not flags[15] and not flags[22]  # linear no-BN head convs
+    assert flags[2] and flags[12]  # BN'd backbone convs
+
+
+def test_weight_quant_roundtrip_error(setup):
+    g, params, _ = setup
+    q = quantize_weights(g, params)
+    node = [n for n in g.conv_nodes if eligible(g, n)][0]
+    qp = q[node.index]
+    assert qp["wq"].dtype == jnp.int8
+    w = np.asarray(params[node.index]["w"])
+    deq = np.asarray(qp["wq"], np.float32) * np.asarray(qp["sw"])
+    # symmetric per-channel: max error is half a step = sw/2
+    err = np.abs(deq - w).max(axis=(0, 1, 2))
+    assert (err <= np.asarray(qp["sw"]) * 0.5 + 1e-7).all()
+    # head conv stays unquantized
+    assert "w" in q[15] and "wq" not in q[15]
+
+
+def test_calibration_scales_cover_activations(setup):
+    g, params, x = setup
+    scales = calibrate(g, params, [x], precision=None)
+    assert set(scales) == {n.index for n in g.conv_nodes if eligible(g, n)}
+    assert all(s > 0 for s in scales.values())
+    # input to conv index 2 is in [0, ~large); scale*127 should bound it
+    assert scales[2] * 127.0 > 0.1
+
+
+def _iou(a, b):
+    tl = np.maximum(a[:2], b[:2])
+    br = np.minimum(a[2:], b[2:])
+    wh = np.maximum(br - tl, 0)
+    inter = wh[0] * wh[1]
+    ua = (a[2] - a[0]) * (a[3] - a[1])
+    ub = (b[2] - b[0]) * (b[3] - b[1])
+    return inter / max(ua + ub - inter, 1e-9)
+
+
+def test_int8_box_parity_with_fp32(setup):
+    """int8 pipeline: ≥80% of confident fp32 detections matched at IoU>0.9."""
+    g, params, x = setup
+    scales = calibrate(g, params, [x], precision=None)
+    q = quantize_weights(g, params)
+
+    b32, s32, c32 = forward_compact(g, params, x)
+    r32 = batched_nms_compact(b32, s32, c32, prob_thresh=0.3, top_k=64)
+    bq, sq, cq = forward_compact_int8(g, q, scales, x, precision=None)
+    rq = batched_nms_compact(bq, sq, cq, prob_thresh=0.3, top_k=64)
+
+    matched, total = 0, 0
+    for i in range(x.shape[0]):
+        for j in np.where(np.asarray(r32.valid[i]))[0]:
+            if float(r32.scores[i, j]) < 0.35:
+                continue
+            total += 1
+            box = np.asarray(r32.boxes[i, j])
+            cls = int(r32.classes[i, j])
+            vq = np.where(np.asarray(rq.valid[i]))[0]
+            best = max((_iou(box, np.asarray(rq.boxes[i, k]))
+                        for k in vq if int(rq.classes[i, k]) == cls),
+                       default=0.0)
+            matched += best > 0.9
+    assert total > 0
+    assert matched / total >= 0.8, f"int8 parity {matched}/{total}"
+
+
+def test_detector_int8_integration(setup, cfg_paths, tmp_path):
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.weights import random_raw, write_weights
+
+    g, _, _ = setup
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=3))
+    net = Darknet(cfg_paths["yolov3-tiny"], precision=None)
+    net.load_weights(wpath)
+    rng = np.random.default_rng(1)
+    calib = rng.integers(0, 256, (8, 480, 640, 3), dtype=np.uint8)
+    net.quantize_int8(calib, net_hw=(160, 160))
+    assert net.quantized
+
+    det = Detector(net, prob_thresh=0.3, net_hw=(160, 160))
+    results = det.detect_batch(
+        rng.integers(0, 256, (2, 480, 640, 3), dtype=np.uint8))
+    assert len(results) == 2

@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="static NMS candidate cap per image")
     p.add_argument("--cache-params", action="store_true",
                    help="cache converted/folded params on disk for fast reload")
+    p.add_argument("--quantize-int8", metavar="CALIB_DIR", default=None,
+                   help="post-training int8 quantization, calibrated on the "
+                        "images in CALIB_DIR (~1.3x bf16 throughput)")
     p.add_argument("--conv-impl", choices=("xla", "pallas"), default="xla",
                    help="conv backend for eligible 3x3 layers")
     p.add_argument("--nms-impl", choices=("xla", "pallas"), default="xla",
@@ -98,6 +101,23 @@ def main(argv=None) -> int:
               f"net {net.net_size[1]}x{net.net_size[0]}, "
               f"{len(net.graph.yolo_nodes)} heads")
     net.load_weights(args.weights, cache=args.cache_params)
+
+    if args.quantize_int8:
+        import cv2
+        import numpy as np
+
+        calib = []
+        for p_img in sorted(Path(args.quantize_int8).iterdir())[:32]:
+            frame = cv2.imread(str(p_img))
+            if frame is not None:
+                calib.append(cv2.resize(frame[..., ::-1], (640, 480)))
+        if not calib:
+            raise SystemExit(f"no readable calibration images in "
+                             f"{args.quantize_int8}")
+        size = (args.net_size, args.net_size) if args.net_size else None
+        net.quantize_int8(np.stack(calib), net_hw=size)
+        if args.verbose:
+            print(f"int8-quantized with {len(calib)} calibration images")
 
     net_hw = (args.net_size, args.net_size) if args.net_size else None
     detector = Detector(net, prob_thresh=args.prob_thresh,

@@ -103,6 +103,27 @@ class Detector:
             self._pipelines[key] = run
             return run
 
+        if self.net.quantized:
+            from .quant import forward_compact_int8
+
+            qparams, act_scales = self.net.qparams, self.net.act_scales
+
+            @jax.jit
+            def run_q(qparams, frames_u8):
+                if bgr:
+                    frames_u8 = frames_u8[..., ::-1]
+                x = preprocess(frames_u8, net_hw, mode=mode)
+                boxes, scores, classes = forward_compact_int8(
+                    graph, qparams, act_scales, x,
+                    precision=precision or "bf16")
+                return batched_nms_compact(boxes, scores, classes,
+                                           prob_thresh=prob, iou_thresh=iou,
+                                           top_k=top_k, impl=nms_impl)
+
+            run = lambda params, frames: run_q(qparams, frames)  # noqa: E731
+            self._pipelines[key] = run
+            return run
+
         @jax.jit
         def run(params, frames_u8):
             if bgr:

@@ -192,7 +192,35 @@ class Darknet:
             param_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
         self.param_dtype = jnp.dtype(param_dtype)
         self.params: Optional[Dict[int, Dict[str, jax.Array]]] = None
+        self.qparams = None  # int8 path (quantize_int8)
+        self.act_scales = None
         self._jitted = {}
+
+    @property
+    def quantized(self) -> bool:
+        return self.qparams is not None
+
+    def quantize_int8(self, calibration_frames, net_hw=None,
+                      mode: str = "letterbox") -> "Darknet":
+        """Post-training int8 quantization (see ``quant.py``).
+
+        ``calibration_frames``: (N, H, W, 3) uint8 RGB frames (a few dozen
+        representative images); they are letterboxed to the net input size
+        and used to calibrate per-conv activation scales.
+        """
+        from .ops.preprocess import preprocess
+        from .quant import calibrate, quantize_weights
+
+        if self.params is None:
+            raise RuntimeError("load_weights() before quantize_int8()")
+        net_hw = tuple(net_hw) if net_hw else self.net_size
+        frames = jnp.asarray(calibration_frames)
+        batches = [preprocess(frames[i:i + 8], net_hw, mode=mode)
+                   for i in range(0, frames.shape[0], 8)]
+        self.act_scales = calibrate(self.graph, self.params, batches,
+                                    precision=self.precision or "bf16")
+        self.qparams = quantize_weights(self.graph, self.params)
+        return self
 
     @property
     def num_classes(self) -> int:

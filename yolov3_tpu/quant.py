@@ -1,0 +1,192 @@
+"""Post-training int8 quantization — the v5e speed tier above bf16.
+
+v5e's MXU does 2× the int8 OPS of bf16 (measured 73 vs 38 TOPS on yolov3's
+hot conv shape through this stack). Scheme (conservative PTQ, designed so a
+bad calibration can degrade accuracy but never correctness):
+
+* **weights**: per-output-channel symmetric int8 (``w_q = round(w/s_w[o])``),
+  folded-BN weights quantized directly;
+* **activations**: per-conv-input per-tensor symmetric int8 with scales
+  calibrated from real batches (abs-max over the calibration set);
+* **carrier precision**: activations travel between ops in bf16; each
+  eligible conv quantizes its input on the fly (fused VPU round/clip),
+  convolves int8×int8→int32 on the MXU, and dequantizes in the epilogue
+  (scale·bias·LeakyReLU) — route/shortcut/upsample/maxpool never deal with
+  mismatched scales;
+* **exclusions**: the 3-channel stem and the no-BN linear head convs stay
+  bf16 (heads carry the box regression signal; the stem is bandwidth-bound,
+  not MXU-bound — quantizing it buys nothing).
+
+Usage::
+
+    net = Darknet(cfg, precision="bf16").load_weights(w)
+    net.quantize_int8(calibration_frames)   # frames: (N, H, W, 3) uint8 RGB
+    Detector(net, ...)                      # pipeline picks the int8 path
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .graph import Graph, Node
+from .model import _maxpool, _upsample_nearest, _PRECISIONS
+
+
+def eligible(graph: Graph, node: Node) -> bool:
+    """Quantize BN'd convs only (stem has Cin=3; no-BN head convs stay bf16)."""
+    src = node.inputs[0]
+    c_in = graph.in_channels if src < 0 else graph.nodes[src].out_channels
+    return node.batch_normalize and c_in >= 16
+
+
+def quantize_weights(graph: Graph, params) -> Dict[int, Dict[str, jax.Array]]:
+    """Per-output-channel symmetric int8 quantization of folded conv weights.
+
+    Returns qparams: eligible convs get {"wq" int8 HWIO, "sw" (C,) f32,
+    "b" f32}; ineligible convs keep {"w", "b"} untouched.
+    """
+    q: Dict[int, Dict[str, jax.Array]] = {}
+    for node in graph.conv_nodes:
+        p = params[node.index]
+        if not eligible(graph, node):
+            q[node.index] = {"w": jnp.asarray(p["w"]),
+                             "b": jnp.asarray(p["b"], jnp.float32)}
+            continue
+        w = np.asarray(p["w"], np.float32)  # HWIO
+        sw = np.abs(w).reshape(-1, w.shape[3]).max(axis=0) / 127.0
+        sw = np.maximum(sw, 1e-12).astype(np.float32)
+        wq = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
+        q[node.index] = {"wq": jnp.asarray(wq), "sw": jnp.asarray(sw),
+                         "b": jnp.asarray(p["b"], jnp.float32)}
+    return q
+
+
+def _conv_int8(x: jax.Array, node: Node, qp, sx: float) -> jax.Array:
+    pad = node.size // 2 if node.pad else 0
+    inv = 1.0 / sx
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127
+                  ).astype(jnp.int8)
+    y = lax.conv_general_dilated(
+        xq, qp["wq"], (node.stride, node.stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (qp["sw"] * jnp.float32(sx)) + qp["b"]
+    if node.activation == "leaky":
+        y = jnp.where(y > 0, y, 0.1 * y)
+    return y.astype(x.dtype)
+
+
+def _conv_bf16(x: jax.Array, node: Node, qp, precision) -> jax.Array:
+    pad = node.size // 2 if node.pad else 0
+    y = lax.conv_general_dilated(
+        x, qp["w"].astype(x.dtype), (node.stride, node.stride),
+        [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+    y = y + qp["b"].astype(y.dtype)
+    if node.activation == "leaky":
+        y = jnp.where(y > 0, y, 0.1 * y)
+    return y
+
+
+def forward_features_int8(graph: Graph, qparams, scales: Dict[int, float],
+                          x: jax.Array, precision: Optional[str] = "bf16"
+                          ) -> List[jax.Array]:
+    """int8 graph walk; mirrors ``model.forward_features``. ``scales`` maps
+    conv index → calibrated abs-max input scale (s = absmax/127)."""
+    prec = _PRECISIONS[precision]
+    needed = graph.needed_outputs
+    cache: Dict[int, jax.Array] = {}
+    heads: List[jax.Array] = []
+    prev = x.astype(jnp.bfloat16) if precision == "bf16" else x
+    for node in graph.nodes:
+        if node.kind == "convolutional":
+            qp = qparams[node.index]
+            if "wq" in qp:
+                out = _conv_int8(prev, node, qp, scales[node.index])
+            else:
+                out = _conv_bf16(prev, node, qp, prec)
+        elif node.kind == "maxpool":
+            out = _maxpool(prev, node)
+        elif node.kind == "upsample":
+            out = _upsample_nearest(prev, node.stride)
+        elif node.kind == "shortcut":
+            out = prev + cache[node.inputs[1]]
+        elif node.kind == "route":
+            srcs = [prev if i == node.index - 1 else cache[i]
+                    for i in node.inputs]
+            out = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
+        elif node.kind == "yolo":
+            heads.append(prev)
+            out = prev
+        if node.index in needed:
+            cache[node.index] = out
+        prev = out
+    return heads
+
+
+def forward_compact_int8(graph: Graph, qparams, scales, x,
+                         precision: Optional[str] = "bf16"):
+    """int8 serving forward → (boxes, scores, classes), compact decode."""
+    from .ops.decode import decode_compact
+
+    heads = forward_features_int8(graph, qparams, scales, x, precision)
+    yolo_nodes = graph.yolo_nodes
+    return decode_compact(
+        heads, [n.anchors for n in yolo_nodes], list(graph.head_strides()),
+        yolo_nodes[0].classes)
+
+
+def calibrate(graph: Graph, params, batches, precision: Optional[str] = "bf16"
+              ) -> Dict[int, float]:
+    """Run calibration batches through the fp/bf16 graph recording the
+    abs-max input of every eligible conv; returns {conv index: scale}.
+
+    ``batches``: iterable of (B, H, W, C) float arrays in [0, 1] (already
+    preprocessed — use the same letterbox the serving path uses).
+    """
+    indices = [n.index for n in graph.conv_nodes if eligible(graph, n)]
+
+    def absmax_pass(params, x):
+        prec = _PRECISIONS[precision]
+        needed = graph.needed_outputs
+        cache: Dict[int, jax.Array] = {}
+        maxima = {}
+        prev = x.astype(jnp.bfloat16) if precision == "bf16" else x
+        for node in graph.nodes:
+            if node.kind == "convolutional":
+                if node.index in indices:
+                    maxima[node.index] = jnp.max(
+                        jnp.abs(prev.astype(jnp.float32)))
+                qp = {"w": params[node.index]["w"],
+                      "b": params[node.index]["b"]}
+                out = _conv_bf16(prev, node, qp, prec)
+            elif node.kind == "maxpool":
+                out = _maxpool(prev, node)
+            elif node.kind == "upsample":
+                out = _upsample_nearest(prev, node.stride)
+            elif node.kind == "shortcut":
+                out = prev + cache[node.inputs[1]]
+            elif node.kind == "route":
+                srcs = [prev if i == node.index - 1 else cache[i]
+                        for i in node.inputs]
+                out = (srcs[0] if len(srcs) == 1
+                       else jnp.concatenate(srcs, axis=-1))
+            else:
+                out = prev
+            if node.index in needed:
+                cache[node.index] = out
+            prev = out
+        return maxima
+
+    run = jax.jit(absmax_pass)
+    agg: Dict[int, float] = {i: 0.0 for i in indices}
+    for x in batches:
+        maxima = run(params, jnp.asarray(x))
+        for i in indices:
+            agg[i] = max(agg[i], float(maxima[i]))
+    return {i: max(agg[i], 1e-6) / 127.0 for i in indices}
