@@ -202,7 +202,8 @@ def main():
     torch_ips = cache[key]
 
     print(json.dumps({
-        "metric": f"images/sec/chip {key} batch{args.batch} e2e inference",
+        "metric": f"images/sec/chip {key} batch{args.batch} "
+                  f"{args.precision} e2e inference",
         "value": round(tpu_ips, 2),
         "unit": "img/s",
         "vs_baseline": round(tpu_ips / torch_ips, 2),

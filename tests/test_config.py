@@ -132,6 +132,16 @@ def test_lower_rejects_bad_graphs():
         ))
 
 
+def test_summary_table(cfg_paths):
+    g = load_graph(cfg_paths["yolov3"])
+    s = g.summary()
+    lines = s.splitlines()
+    assert len(lines) == 2 + 107
+    assert "13x13x255" in s and "26x26x255" in s and "52x52x255" in s
+    # at 608 the head grids scale
+    assert "19x19x255" in g.summary(608, 608)
+
+
 def test_needed_outputs_is_sparse(cfg_paths):
     g = load_graph(cfg_paths["yolov3"])
     needed = g.needed_outputs

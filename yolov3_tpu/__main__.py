@@ -70,6 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="conv backend for eligible 3x3 layers")
     p.add_argument("--nms-impl", choices=("xla", "pallas"), default="xla",
                    help="NMS suppression backend")
+    p.add_argument("--summary", action="store_true",
+                   help="print the darknet-style layer table before running")
     return p
 
 
@@ -96,6 +98,8 @@ def main(argv=None) -> int:
 
     precision = None if args.precision == "default" else args.precision
     net = Darknet(args.config, precision=precision, conv_impl=args.conv_impl)
+    if args.summary:
+        print(net.graph.summary(args.net_size, args.net_size))
     if args.verbose:
         print(f"loaded {net.graph.name}: {len(net.graph.nodes)} layers, "
               f"net {net.net_size[1]}x{net.net_size[0]}, "

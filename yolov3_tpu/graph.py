@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from pathlib import Path
-from typing import List, Tuple, Union
+from typing import List, Optional, Tuple, Union
 
 from .config import Block, layer_blocks, net_options, parse_config
 
@@ -84,6 +84,33 @@ class Graph:
             s = self.nodes[n.inputs[0]].downsample
             total += len(n.anchors) * (height // s) * (width // s)
         return total
+
+    def summary(self, height: Optional[int] = None,
+                width: Optional[int] = None) -> str:
+        """darknet-style layer table (index, kind, params, output shape)."""
+        h = height or self.in_height
+        w = width or self.in_width
+        lines = [f"{self.name}: input {h}x{w}x{self.in_channels}",
+                 f"{'idx':>4} {'type':<14} {'params':<24} {'output':<18}"]
+        for n in self.nodes:
+            oh, ow = h // n.downsample, w // n.downsample
+            if n.kind == "convolutional":
+                detail = (f"{n.size}x{n.size}/{n.stride} -> {n.filters}"
+                          f"{' +bn' if n.batch_normalize else ''}"
+                          f" {n.activation}")
+            elif n.kind == "maxpool":
+                detail = f"{n.size}x{n.size}/{n.stride}"
+            elif n.kind == "upsample":
+                detail = f"x{n.stride}"
+            elif n.kind == "shortcut":
+                detail = f"from {n.inputs[1]}"
+            elif n.kind == "route":
+                detail = ",".join(str(i) for i in n.inputs)
+            else:  # yolo
+                detail = f"{len(n.anchors)} anchors, {n.classes} cls"
+            out = f"{oh}x{ow}x{n.out_channels}"
+            lines.append(f"{n.index:>4} {n.kind:<14} {detail:<24} {out:<18}")
+        return "\n".join(lines)
 
     @property
     def needed_outputs(self) -> frozenset:

@@ -307,9 +307,15 @@ def detect_directory(detector: Detector, dir_path, batch_size: int = 32,
     if not paths:
         return {}
 
+    # threaded decode: cv2.imread releases the GIL, so reads genuinely
+    # overlap each other and later overlap device compute
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        decoded = list(pool.map(lambda p: (p, cv2.imread(str(p))), paths))
+
     buckets: Dict[Tuple[int, int], List[Tuple[Path, np.ndarray]]] = {}
-    for p in paths:
-        frame = cv2.imread(str(p))
+    for p, frame in decoded:
         if frame is None:
             continue
         buckets.setdefault(frame.shape[:2], []).append((p, frame))
