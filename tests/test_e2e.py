@@ -174,6 +174,35 @@ def test_detect_mixed_matches_detect_batch(tiny_weights, cfg_paths):
         assert abs(len(m.bbox_tlbr) - len(s.bbox_tlbr)) <= max(2, n // 5)
 
 
+def test_pipelined_detector(tiny_weights, cfg_paths):
+    """PipelinedDetector: bounded in-flight depth, ordered results, and
+    identical output to the synchronous path."""
+    from yolov3_tpu.inference import Detector, PipelinedDetector
+    from yolov3_tpu.model import Darknet
+
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(tiny_weights)
+    det = Detector(net, prob_thresh=0.3, net_hw=(160, 160))
+    pipe = PipelinedDetector(det, depth=2)
+
+    rng = np.random.default_rng(9)
+    batches = [rng.integers(0, 256, (2, 240, 320, 3), dtype=np.uint8)
+               for _ in range(5)]
+    collected = []
+    for b in batches:
+        collected.extend(pipe.submit(b))
+        assert len(pipe._inflight) <= 2
+    collected.extend(pipe.flush())
+    assert len(pipe._inflight) == 0
+    assert len(collected) == 5
+
+    sync = [det.detect_batch(b) for b in batches]
+    for got, want in zip(collected, sync):
+        for g_det, w_det in zip(got, want):
+            np.testing.assert_array_equal(g_det.class_idx, w_det.class_idx)
+            np.testing.assert_allclose(g_det.bbox_tlbr, w_det.bbox_tlbr,
+                                       atol=1e-4)
+
+
 def test_detector_warmup(tiny_weights, cfg_paths):
     from yolov3_tpu.inference import Detector
     from yolov3_tpu.model import Darknet

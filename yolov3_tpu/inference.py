@@ -247,6 +247,46 @@ class Detector:
         return self.detect_batch(np.asarray(frames))
 
 
+class PipelinedDetector:
+    """Async-dispatch serving wrapper: keeps up to ``depth`` batches in
+    flight on the device, materializing results in submission order.
+
+    JAX dispatch is asynchronous — ``submit()`` enqueues the device step and
+    returns immediately; results are pulled only when the pipeline is full
+    (or on ``flush()``), so host work (decode, drawing, I/O) overlaps device
+    compute. This is the generalized form of the video loop's overlap
+    (SURVEY.md §7 phase 4) for any streaming source.
+    """
+
+    def __init__(self, detector: Detector, depth: int = 2):
+        self.detector = detector
+        self.depth = max(1, int(depth))
+        self._inflight: List[Tuple[Tuple[int, int], object]] = []
+
+    def submit(self, frames: np.ndarray) -> List[List[Detection]]:
+        """Enqueue one same-shape uint8 batch; returns any batches that
+        completed to keep the in-flight depth bounded (oldest first)."""
+        frames = np.ascontiguousarray(frames)
+        if frames.ndim == 3:
+            frames = frames[None]
+        b, h, w, _ = frames.shape
+        run = self.detector._pipeline(b, (h, w))
+        res = run(self.detector.net.params, jnp.asarray(frames))
+        self._inflight.append(((h, w), res))
+        done: List[List[Detection]] = []
+        while len(self._inflight) > self.depth:
+            src_hw, r = self._inflight.pop(0)
+            done.append(self.detector._unpack(r, src_hw))
+        return done
+
+    def flush(self) -> List[List[Detection]]:
+        """Materialize everything still in flight (submission order)."""
+        done = [self.detector._unpack(r, src_hw)
+                for src_hw, r in self._inflight]
+        self._inflight.clear()
+        return done
+
+
 def inference(net: Darknet, images, prob_thresh: float = 0.05,
               nms_iou_thresh: float = 0.3, resize_mode: str = "letterbox"
               ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
