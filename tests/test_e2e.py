@@ -111,6 +111,37 @@ def test_cli_rejects_multiple_sources(tiny_weights, sample_images, cfg_paths):
               "--config", cfg_paths["yolov3-tiny"], "--weights", tiny_weights])
 
 
+def test_cli_missing_weights_file(sample_images, cfg_paths):
+    with pytest.raises(FileNotFoundError):
+        _cli(["--image", sample_images[1][0],
+              "--config", cfg_paths["yolov3-tiny"],
+              "--weights", "/nonexistent/w.weights", "--no-show"])
+
+
+def test_cli_missing_image(tiny_weights, cfg_paths):
+    with pytest.raises(FileNotFoundError, match="could not read image"):
+        _cli(["--image", "/nonexistent/img.jpg",
+              "--config", cfg_paths["yolov3-tiny"],
+              "--weights", tiny_weights, "--no-show"])
+
+
+def test_cli_wrong_weights_for_cfg(tiny_weights, sample_images, cfg_paths):
+    """tiny weights against the full yolov3 cfg → clear census error."""
+    with pytest.raises(ValueError, match="exhausted|mismatch"):
+        _cli(["--image", sample_images[1][0],
+              "--config", cfg_paths["yolov3"],
+              "--weights", tiny_weights, "--no-show"])
+
+
+def test_cli_device_flag_cpu(tiny_weights, sample_images, cfg_paths, tmp_path):
+    rc = _cli(["--image", sample_images[1][0],
+               "--config", cfg_paths["yolov3-tiny"],
+               "--weights", tiny_weights, "--device", "cpu:0",
+               "--no-show", "--output", str(tmp_path / "d.jpg"),
+               "--prob-thresh", "0.35"])
+    assert rc == 0 and (tmp_path / "d.jpg").exists()
+
+
 def test_cam_loop_headless_with_file_source(tiny_weights, cfg_paths, tmp_path):
     """Webcam loop driven by a file 'camera', headless (no shower thread);
     exits on EOF; frame-dropping (latest-wins) means processed ≤ total."""
