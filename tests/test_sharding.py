@@ -125,6 +125,48 @@ def test_detector_on_mesh(tiny_setup, cfg_paths, tmp_path):
         np.testing.assert_allclose(a.bbox_tlbr, b.bbox_tlbr, atol=1e-3)
 
 
+def test_detector_int8_on_mesh(cfg_paths, tmp_path):
+    """Quantized detector on a mesh: shards qparams, results match 1-device."""
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.weights import random_raw, write_weights
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=5))
+    rng = np.random.default_rng(3)
+    calib = rng.integers(0, 256, (8, 240, 320, 3), dtype=np.uint8)
+
+    def make(mesh):
+        net = Darknet(cfg_paths["yolov3-tiny"], precision=None)
+        net.load_weights(wpath)
+        net.quantize_int8(calib, net_hw=(160, 160))
+        return Detector(net, prob_thresh=0.3, net_hw=(160, 160), mesh=mesh)
+
+    det_m = make(make_mesh(4))
+    det_1 = make(None)
+    frames = rng.integers(0, 256, (4, 240, 320, 3), dtype=np.uint8)
+    r_m = det_m.detect_batch(frames)
+    r_1 = det_1.detect_batch(frames)
+    for a, b in zip(r_m, r_1):
+        np.testing.assert_array_equal(a.class_idx, b.class_idx)
+        np.testing.assert_allclose(a.bbox_tlbr, b.bbox_tlbr, atol=1e-3)
+
+
+def test_orbax_param_roundtrip(cfg_paths, tmp_path):
+    from yolov3_tpu.weights import (fold_raw, load_params_orbax, random_raw,
+                                    save_params_orbax)
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    params = fold_raw(random_raw(g, seed=8))
+    save_params_orbax(tmp_path / "ckpt", params)
+    restored = load_params_orbax(tmp_path / "ckpt")
+    assert set(restored) == set(params)
+    for idx in params:
+        np.testing.assert_array_equal(params[idx]["w"], restored[idx]["w"])
+        np.testing.assert_array_equal(params[idx]["b"], restored[idx]["b"])
+
+
 def test_graft_entry_hooks():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

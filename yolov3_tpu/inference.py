@@ -73,6 +73,8 @@ class Detector:
             from .parallel.sharding import shard_params
 
             self.net.params = shard_params(self.net.params, mesh)
+            if self.net.quantized:
+                self.net.qparams = shard_params(self.net.qparams, mesh)
         self._pipelines: Dict[Tuple, callable] = {}
 
     def _pipeline(self, batch: int, src_hw: Tuple[int, int],
@@ -96,10 +98,19 @@ class Detector:
         if self.mesh is not None:
             from .parallel.sharding import sharded_pipeline
 
-            run = sharded_pipeline(graph, self.mesh, net_hw=net_hw,
-                                   prob_thresh=prob, iou_thresh=iou,
-                                   top_k=top_k, mode=mode,
-                                   precision=precision, bgr=bgr)
+            if self.net.quantized:
+                run_q = sharded_pipeline(graph, self.mesh, net_hw=net_hw,
+                                         prob_thresh=prob, iou_thresh=iou,
+                                         top_k=top_k, mode=mode,
+                                         precision=precision, bgr=bgr,
+                                         act_scales=self.net.act_scales)
+                qparams = self.net.qparams
+                run = lambda params, frames: run_q(qparams, frames)  # noqa: E731
+            else:
+                run = sharded_pipeline(graph, self.mesh, net_hw=net_hw,
+                                       prob_thresh=prob, iou_thresh=iou,
+                                       top_k=top_k, mode=mode,
+                                       precision=precision, bgr=bgr)
             self._pipelines[key] = run
             return run
 

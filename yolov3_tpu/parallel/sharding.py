@@ -59,11 +59,14 @@ def shard_params(params, mesh: Mesh):
 def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
                      prob_thresh: float = 0.05, iou_thresh: float = 0.3,
                      top_k: int = 512, mode: str = "letterbox",
-                     precision: Optional[str] = None, bgr: bool = True):
+                     precision: Optional[str] = None, bgr: bool = True,
+                     act_scales=None):
     """Build the batch-DP end-to-end detect step, jitted over ``mesh``.
 
     Returns ``run(params, frames_u8)``: uint8 (B, H, W, 3) sharded on batch →
     NMSResult pytree sharded on batch. B must be divisible by mesh size.
+    Pass ``act_scales`` (and int8 qparams as ``params``) for the quantized
+    path.
     """
     from ..model import forward_compact
     from ..ops.nms import batched_nms_compact
@@ -76,8 +79,14 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
         if bgr:
             frames_u8 = frames_u8[..., ::-1]
         x = preprocess(frames_u8, net_hw, mode=mode)
-        boxes, scores, classes = forward_compact(graph, params, x,
-                                                 precision=precision)
+        if act_scales is not None:
+            from ..quant import forward_compact_int8
+
+            boxes, scores, classes = forward_compact_int8(
+                graph, params, act_scales, x, precision=precision or "bf16")
+        else:
+            boxes, scores, classes = forward_compact(graph, params, x,
+                                                     precision=precision)
         return batched_nms_compact(boxes, scores, classes,
                                    prob_thresh=prob_thresh,
                                    iou_thresh=iou_thresh, top_k=top_k)

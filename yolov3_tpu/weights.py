@@ -206,6 +206,29 @@ def load_weights_cached(path: Union[str, Path], graph: Graph,
     return params
 
 
+def save_params_orbax(path: Union[str, Path], params: Params) -> None:
+    """Persist a folded param pytree with orbax (SURVEY.md §5.4) — the
+    checkpoint-ecosystem alternative to the npz cache; useful when params are
+    consumed by other JAX tooling."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        # orbax wants string keys; keep layer indices recoverable
+        ckptr.save(path, {str(k): v for k, v in params.items()})
+
+
+def load_params_orbax(path: Union[str, Path]) -> Params:
+    """Load a pytree saved by :func:`save_params_orbax`."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path)
+    return {int(k): {n: np.asarray(a) for n, a in v.items()}
+            for k, v in restored.items()}
+
+
 def param_count(graph: Graph) -> int:
     """Total float32 count of the weight stream (excluding header)."""
     total = 0
