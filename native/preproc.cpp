@@ -63,10 +63,12 @@ extern "C" {
 int letterbox_one(const uint8_t* src, int sh, int sw, uint8_t* dst, int nh,
                   int nw, int swap_rb) {
     if (!src || !dst || sh <= 0 || sw <= 0 || nh <= 0 || nw <= 0) return -1;
-    const float scale = std::min(static_cast<float>(nh) / sh,
-                                 static_cast<float>(nw) / sw);
-    const int rh = std::max(1, static_cast<int>(std::lround(sh * scale)));
-    const int rw = std::max(1, static_cast<int>(std::lround(sw * scale)));
+    // double precision + round-half-up, matching the Python/device
+    // letterbox_params exactly (float/lround disagreed on half-pixel cases)
+    const double scale = std::min(static_cast<double>(nh) / sh,
+                                  static_cast<double>(nw) / sw);
+    const int rh = std::max(1, static_cast<int>(std::floor(sh * scale + 0.5)));
+    const int rw = std::max(1, static_cast<int>(std::floor(sw * scale + 0.5)));
     const int top = (nh - rh) / 2;
     const int left = (nw - rw) / 2;
     // resize into a stack/heap strip then blit (keeps the inner loop simple)

@@ -55,6 +55,23 @@ def test_matches_device_letterbox(rng):
     assert np.abs(host_f - dev).max() < 0.02
 
 
+def test_half_pixel_rounding_matches_python(rng):
+    """Regression: 832x501→416 hits an exact .5 resize (250.5 rows); the C++
+    loader and letterbox_params must round identically or unmapping shifts
+    boxes by 1px."""
+    from yolov3_tpu.utils.boxes import letterbox_params
+
+    img = rng.integers(0, 256, (501, 832, 3), dtype=np.uint8)
+    out = native.letterbox_batch_native(img[None], (416, 416), swap_rb=False)
+    scale, pad_top, pad_left = letterbox_params((501, 832), (416, 416))
+    new_h = int(np.floor(501 * scale + 0.5))
+    # content rows exactly [pad_top, pad_top+new_h); everything else is pad
+    assert (out[0, :pad_top] == 128).all()
+    assert (out[0, pad_top + new_h:] == 128).all()
+    assert not (out[0, pad_top] == 128).all()
+    assert not (out[0, pad_top + new_h - 1] == 128).all()
+
+
 def test_stretch_matches_cv2(rng):
     import cv2
 

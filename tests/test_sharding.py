@@ -153,6 +153,38 @@ def test_detector_int8_on_mesh(cfg_paths, tmp_path):
         np.testing.assert_allclose(a.bbox_tlbr, b.bbox_tlbr, atol=1e-3)
 
 
+def test_mesh_mixed_and_pipelined_pad_paths(cfg_paths, tmp_path):
+    """Regression: detect_preletterboxed/detect_mixed and PipelinedDetector
+    on a mesh must pad non-divisible batches instead of crashing."""
+    from yolov3_tpu import native
+    from yolov3_tpu.inference import Detector, PipelinedDetector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.weights import random_raw, write_weights
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=6))
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(wpath)
+    det = Detector(net, prob_thresh=0.3, net_hw=(160, 160),
+                   mesh=make_mesh(8))
+
+    rng = np.random.default_rng(4)
+    # 3 % 8 != 0 → exercises the pad path on every entry point
+    canvases = rng.integers(0, 256, (3, 160, 160, 3), dtype=np.uint8)
+    out = det.detect_preletterboxed(canvases, [(240, 320)] * 3)
+    assert len(out) == 3
+
+    if native.available():
+        frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                  for h, w in [(240, 320), (120, 200), (160, 160)]]
+        assert len(det.detect_mixed(frames)) == 3
+
+    pipe = PipelinedDetector(det, depth=1)
+    done = pipe.submit(rng.integers(0, 256, (3, 240, 320, 3), dtype=np.uint8))
+    done += pipe.flush()
+    assert sum(len(d) for d in done) == 3
+
+
 def test_orbax_param_roundtrip(cfg_paths, tmp_path):
     from yolov3_tpu.weights import (fold_raw, load_params_orbax, random_raw,
                                     save_params_orbax)

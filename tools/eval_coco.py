@@ -176,7 +176,7 @@ def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
     flush()
 
     gt_np = {img: {c: np.asarray(b) for c, b in cls.items()}
-             for img, cls in gt.items() if img in detections or True}
+             for img, cls in gt.items()}
     return evaluate(detections, gt_np)
 
 

@@ -108,18 +108,18 @@ def main(argv=None) -> int:
 
     if args.quantize_int8:
         import cv2
-        import numpy as np
 
         calib = []
         for p_img in sorted(Path(args.quantize_int8).iterdir())[:32]:
             frame = cv2.imread(str(p_img))
             if frame is not None:
-                calib.append(cv2.resize(frame[..., ::-1], (640, 480)))
+                calib.append(frame[..., ::-1])  # BGR→RGB, native size
         if not calib:
             raise SystemExit(f"no readable calibration images in "
                              f"{args.quantize_int8}")
         size = (args.net_size, args.net_size) if args.net_size else None
-        net.quantize_int8(np.stack(calib), net_hw=size)
+        # calibration must use the SAME preprocessing as serving
+        net.quantize_int8(calib, net_hw=size, mode=args.resize_mode)
         if args.verbose:
             print(f"int8-quantized with {len(calib)} calibration images")
 

@@ -103,14 +103,17 @@ class Detector:
                                          prob_thresh=prob, iou_thresh=iou,
                                          top_k=top_k, mode=mode,
                                          precision=precision, bgr=bgr,
-                                         act_scales=self.net.act_scales)
+                                         act_scales=self.net.act_scales,
+                                         nms_impl=nms_impl)
                 qparams = self.net.qparams
                 run = lambda params, frames: run_q(qparams, frames)  # noqa: E731
             else:
                 run = sharded_pipeline(graph, self.mesh, net_hw=net_hw,
                                        prob_thresh=prob, iou_thresh=iou,
                                        top_k=top_k, mode=mode,
-                                       precision=precision, bgr=bgr)
+                                       precision=precision, bgr=bgr,
+                                       conv_impl=conv_impl,
+                                       nms_impl=nms_impl)
             self._pipelines[key] = run
             return run
 
@@ -170,13 +173,11 @@ class Detector:
             ))
         return out
 
-    def detect_batch(self, frames: np.ndarray) -> List[Detection]:
-        """Detect in a batch of same-shape HWC uint8 frames (BGR by default,
-        matching cv2 / the reference's input convention)."""
-        frames = np.ascontiguousarray(frames)
-        if frames.ndim == 3:
-            frames = frames[None]
-        b, h, w, _ = frames.shape
+    def _stage_batch(self, frames: np.ndarray):
+        """Host batch → device array: on a mesh, pad the batch up to a
+        shardable size and shard its leading axis. Returns
+        (device_frames, padded_batch, real_batch)."""
+        b = frames.shape[0]
         n_real = b
         if self.mesh is not None:
             from .parallel.sharding import batch_sharding
@@ -185,12 +186,22 @@ class Detector:
             if b % n_dev:  # pad to a shardable batch, drop pad results
                 pad = n_dev - b % n_dev
                 frames = np.concatenate(
-                    [frames, np.zeros((pad, h, w, 3), frames.dtype)])
+                    [frames, np.zeros((pad, *frames.shape[1:]), frames.dtype)])
                 b += pad
             device_frames = jax.device_put(jnp.asarray(frames),
                                            batch_sharding(self.mesh, 4))
         else:
             device_frames = jnp.asarray(frames)
+        return device_frames, b, n_real
+
+    def detect_batch(self, frames: np.ndarray) -> List[Detection]:
+        """Detect in a batch of same-shape HWC uint8 frames (BGR by default,
+        matching cv2 / the reference's input convention)."""
+        frames = np.ascontiguousarray(frames)
+        if frames.ndim == 3:
+            frames = frames[None]
+        h, w = frames.shape[1:3]
+        device_frames, b, n_real = self._stage_batch(frames)
         res = self._pipeline(b, (h, w))(self.net.params, device_frames)
         return self._unpack(res, (h, w))[:n_real]
 
@@ -223,16 +234,17 @@ class Detector:
                               ) -> List[Detection]:
         """Run the device pipeline on host-preprocessed RGB uint8 canvases
         already at net resolution; rescale each result to its own source."""
-        b = canvases.shape[0]
+        canvases = np.ascontiguousarray(canvases)
+        device_frames, b, n_real = self._stage_batch(canvases)
         run = self._pipeline(b, self.net_hw, bgr=False)
-        res = run(self.net.params, jnp.asarray(canvases))
+        res = run(self.net.params, device_frames)
         valid = np.asarray(res.valid)
         boxes = np.asarray(res.boxes)
         scores = np.asarray(res.scores)
         classes = np.asarray(res.classes)
         unmap = unletterbox_tlbr if self.resize_mode == "letterbox" else unstretch_tlbr
         out: List[Detection] = []
-        for i in range(b):
+        for i in range(n_real):
             m = valid[i]
             out.append(Detection(
                 bbox_tlbr=unmap(boxes[i][m], src_hws[i], self.net_hw),
@@ -280,20 +292,23 @@ class PipelinedDetector:
         frames = np.ascontiguousarray(frames)
         if frames.ndim == 3:
             frames = frames[None]
-        b, h, w, _ = frames.shape
+        h, w = frames.shape[1:3]
+        device_frames, b, n_real = self.detector._stage_batch(frames)
         run = self.detector._pipeline(b, (h, w))
-        res = run(self.detector.net.params, jnp.asarray(frames))
-        self._inflight.append(((h, w), res))
+        res = run(self.detector.net.params, device_frames)
+        self._inflight.append(((h, w), n_real, res))
         done: List[List[Detection]] = []
         while len(self._inflight) > self.depth:
-            src_hw, r = self._inflight.pop(0)
-            done.append(self.detector._unpack(r, src_hw))
+            done.append(self._materialize(self._inflight.pop(0)))
         return done
+
+    def _materialize(self, item) -> List[Detection]:
+        src_hw, n_real, res = item
+        return self.detector._unpack(res, src_hw)[:n_real]
 
     def flush(self) -> List[List[Detection]]:
         """Materialize everything still in flight (submission order)."""
-        done = [self.detector._unpack(r, src_hw)
-                for src_hw, r in self._inflight]
+        done = [self._materialize(item) for item in self._inflight]
         self._inflight.clear()
         return done
 
@@ -358,18 +373,27 @@ def detect_directory(detector: Detector, dir_path, batch_size: int = 32,
     if not paths:
         return {}
 
-    # threaded decode: cv2.imread releases the GIL, so reads genuinely
-    # overlap each other and later overlap device compute
+    # threaded decode with a bounded window: cv2.imread releases the GIL so
+    # reads overlap, but only ~4 batches of frames are resident at once
+    # (a 10k-image 1080p directory must not materialize ~60 GB up front)
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        decoded = list(pool.map(lambda p: (p, cv2.imread(str(p))), paths))
+    pool = ThreadPoolExecutor(max_workers=8)
+    window = max(4 * batch_size, 64)
 
-    buckets: Dict[Tuple[int, int], List[Tuple[Path, np.ndarray]]] = {}
-    for p, frame in decoded:
-        if frame is None:
-            continue
-        buckets.setdefault(frame.shape[:2], []).append((p, frame))
+    def decoded_iter():
+        pending = []
+        it = iter(paths)
+        try:
+            for p in it:
+                pending.append((p, pool.submit(cv2.imread, str(p))))
+                if len(pending) >= window:
+                    q, fut = pending.pop(0)
+                    yield q, fut.result()
+            for q, fut in pending:
+                yield q, fut.result()
+        finally:
+            pool.shutdown(wait=False)
 
     results: Dict[str, Detection] = {}
     t0 = time.perf_counter()
@@ -377,45 +401,48 @@ def detect_directory(detector: Detector, dir_path, batch_size: int = 32,
 
     from . import native as native_mod
 
-    if len(buckets) > 1 and native_mod.available():
-        # heterogeneous sources: C++ host letterbox assembles mixed shapes
-        # into fixed-shape uint8 batches -> one compiled executable total
-        items = [it for bucket in buckets.values() for it in bucket]
-        for start in range(0, len(items), batch_size):
-            chunk = items[start:start + batch_size]
-            dets = detector.detect_mixed([f for _, f in chunk])
-            for (p, frame), det in zip(chunk, dets):
-                results[p.name] = det
-                n_images += 1
-                if output_dir:
-                    from .utils.drawing import draw_boxes
+    def emit(chunk, dets):
+        nonlocal n_images
+        for (p, frame), det in zip(chunk, dets):
+            results[p.name] = det
+            n_images += 1
+            if output_dir:
+                from .utils.drawing import draw_boxes
 
-                    draw_boxes(frame, det, class_names=class_names)
-                    cv2.imwrite(str(Path(output_dir) / p.name), frame)
-        if verbose:
-            dt = time.perf_counter() - t0
-            print(f"{n_images} images in {dt:.2f}s "
-                  f"({n_images / dt:.1f} img/s incl. host I/O)")
-        return results
+                draw_boxes(frame, det, class_names=class_names)
+                cv2.imwrite(str(Path(output_dir) / p.name), frame)
 
-    for shape_hw, items in buckets.items():
-        for start in range(0, len(items), batch_size):
-            chunk = items[start:start + batch_size]
-            frames = np.stack([f for _, f in chunk])
-            if len(chunk) < batch_size and len(items) > batch_size:
-                # pad the tail chunk to the compiled batch shape
-                pad = np.zeros((batch_size - len(chunk), *frames.shape[1:]),
-                               dtype=frames.dtype)
-                frames = np.concatenate([frames, pad])
-            dets = detector.detect_batch(frames)[:len(chunk)]
-            for (p, frame), det in zip(chunk, dets):
-                results[p.name] = det
-                n_images += 1
-                if output_dir:
-                    from .utils.drawing import draw_boxes
-
-                    draw_boxes(frame, det, class_names=class_names)
-                    cv2.imwrite(str(Path(output_dir) / p.name), frame)
+    if native_mod.available():
+        # C++ host letterbox assembles arbitrary shapes into fixed-shape
+        # uint8 batches -> one compiled executable total, streaming order
+        chunk: List[Tuple[Path, np.ndarray]] = []
+        for p, frame in decoded_iter():
+            if frame is None:
+                continue
+            chunk.append((p, frame))
+            if len(chunk) == batch_size:
+                emit(chunk, detector.detect_mixed([f for _, f in chunk]))
+                chunk = []
+        if chunk:
+            emit(chunk, detector.detect_mixed([f for _, f in chunk]))
+    else:
+        # pure-device fallback: bucket incrementally by source shape, flush
+        # each bucket as it fills (memory ≤ #shapes × batch_size frames)
+        buckets: Dict[Tuple[int, int], List[Tuple[Path, np.ndarray]]] = {}
+        for p, frame in decoded_iter():
+            if frame is None:
+                continue
+            bucket = buckets.setdefault(frame.shape[:2], [])
+            bucket.append((p, frame))
+            if len(bucket) == batch_size:
+                frames = np.stack([f for _, f in bucket])
+                emit(bucket, detector.detect_batch(frames))
+                buckets[frame.shape[:2]] = []
+        for shape_hw, bucket in buckets.items():
+            if not bucket:
+                continue
+            frames = np.stack([f for _, f in bucket])
+            emit(bucket, detector.detect_batch(frames))
     if verbose:
         dt = time.perf_counter() - t0
         print(f"{n_images} images in {dt:.2f}s "
@@ -452,16 +479,41 @@ def detect_in_video(detector: Detector, filepath, class_names=None,
     fps_in = cap.get(cv2.CAP_PROP_FPS) or 30.0
 
     frame_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(4 * frame_batch, 8))
+    stop = threading.Event()
 
     def _reader():
-        while True:
-            ok, frame = cap.read()
-            if not ok:
-                break
-            frame_q.put(frame)
-        frame_q.put(None)  # EOF sentinel
+        # the reader OWNS the capture: cv2.VideoCapture is not thread-safe,
+        # so release() must not race a concurrent read() from another thread
+        try:
+            while not stop.is_set():
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                while not stop.is_set():
+                    try:
+                        frame_q.put(frame, timeout=0.1)
+                        break
+                    except queue_mod.Full:
+                        continue
+        finally:
+            cap.release()
+            try:
+                frame_q.put_nowait(None)  # EOF sentinel (best effort)
+            except queue_mod.Full:
+                pass
 
-    threading.Thread(target=_reader, daemon=True).start()
+    reader = threading.Thread(target=_reader, daemon=True)
+    reader.start()
+
+    def _next_frame():
+        """Queue get that can't deadlock if the reader died with a full
+        queue (sentinel drop): poll with the reader's liveness as backstop."""
+        while True:
+            try:
+                return frame_q.get(timeout=0.25)
+            except queue_mod.Empty:
+                if not reader.is_alive():
+                    return None
 
     writer = None
     fps = FPSCounter()
@@ -496,7 +548,7 @@ def detect_in_video(detector: Detector, filepath, class_names=None,
         while not eof:
             frames: List[np.ndarray] = []
             while len(frames) < frame_batch:
-                item = frame_q.get()
+                item = _next_frame()
                 if item is None:
                     eof = True
                     break
@@ -512,7 +564,7 @@ def detect_in_video(detector: Detector, filepath, class_names=None,
         if in_flight is not None:
             _drain(*in_flight)
     finally:
-        cap.release()
+        stop.set()  # reader releases the capture itself (it owns it)
         if writer is not None:
             writer.release()
         if shower is not None:

@@ -23,6 +23,8 @@ from __future__ import annotations
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -214,9 +216,15 @@ class Darknet:
         if self.params is None:
             raise RuntimeError("load_weights() before quantize_int8()")
         net_hw = tuple(net_hw) if net_hw else self.net_size
-        frames = jnp.asarray(calibration_frames)
-        batches = [preprocess(frames[i:i + 8], net_hw, mode=mode)
-                   for i in range(0, frames.shape[0], 8)]
+        if isinstance(calibration_frames, (list, tuple)):
+            # variable-size calibration images: preprocess each individually
+            batches = [preprocess(jnp.asarray(np.ascontiguousarray(f))[None],
+                                  net_hw, mode=mode)
+                       for f in calibration_frames]
+        else:
+            frames = jnp.asarray(calibration_frames)
+            batches = [preprocess(frames[i:i + 8], net_hw, mode=mode)
+                       for i in range(0, frames.shape[0], 8)]
         self.act_scales = calibrate(self.graph, self.params, batches,
                                     precision=self.precision or "bf16")
         self.qparams = quantize_weights(self.graph, self.params)
@@ -250,16 +258,12 @@ class Darknet:
         )
         return self
 
-    def _fn(self, shape, dtype):
-        key = (tuple(shape), jnp.dtype(dtype).name)
-        if key not in self._jitted:
-            self._jitted[key] = jax.jit(
-                partial(forward, self.graph, precision=self.precision,
-                        conv_impl=self.conv_impl)
-            )
-        return self._jitted[key]
-
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.params is None:
             raise RuntimeError("call load_weights()/set_params() first")
-        return self._fn(x.shape, x.dtype)(self.params, x)
+        if not self._jitted:
+            # one jit object; jax caches traces per input shape/dtype itself
+            self._jitted["fn"] = jax.jit(
+                partial(forward, self.graph, precision=self.precision,
+                        conv_impl=self.conv_impl))
+        return self._jitted["fn"](self.params, x)

@@ -60,7 +60,8 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
                      prob_thresh: float = 0.05, iou_thresh: float = 0.3,
                      top_k: int = 512, mode: str = "letterbox",
                      precision: Optional[str] = None, bgr: bool = True,
-                     act_scales=None):
+                     act_scales=None, conv_impl: str = "xla",
+                     nms_impl: str = "xla"):
     """Build the batch-DP end-to-end detect step, jitted over ``mesh``.
 
     Returns ``run(params, frames_u8)``: uint8 (B, H, W, 3) sharded on batch →
@@ -86,10 +87,12 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
                 graph, params, act_scales, x, precision=precision or "bf16")
         else:
             boxes, scores, classes = forward_compact(graph, params, x,
-                                                     precision=precision)
+                                                     precision=precision,
+                                                     conv_impl=conv_impl)
         return batched_nms_compact(boxes, scores, classes,
                                    prob_thresh=prob_thresh,
-                                   iou_thresh=iou_thresh, top_k=top_k)
+                                   iou_thresh=iou_thresh, top_k=top_k,
+                                   impl=nms_impl)
 
     return jax.jit(
         step,

@@ -66,6 +66,18 @@ def quantize_weights(graph: Graph, params) -> Dict[int, Dict[str, jax.Array]]:
     return q
 
 
+def _activate(y: jax.Array, activation: str) -> jax.Array:
+    """Same activation contract as model._conv (raise on unknowns — a
+    silently-skipped activation is wrong detections, not an error message)."""
+    if activation == "leaky":
+        return jnp.where(y > 0, y, 0.1 * y)
+    if activation == "relu":
+        return jnp.maximum(y, 0)
+    if activation == "linear":
+        return y
+    raise ValueError(f"unsupported activation {activation!r}")
+
+
 def _conv_int8(x: jax.Array, node: Node, qp, sx: float) -> jax.Array:
     pad = node.size // 2 if node.pad else 0
     inv = 1.0 / sx
@@ -76,9 +88,7 @@ def _conv_int8(x: jax.Array, node: Node, qp, sx: float) -> jax.Array:
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * (qp["sw"] * jnp.float32(sx)) + qp["b"]
-    if node.activation == "leaky":
-        y = jnp.where(y > 0, y, 0.1 * y)
-    return y.astype(x.dtype)
+    return _activate(y, node.activation).astype(x.dtype)
 
 
 def _conv_bf16(x: jax.Array, node: Node, qp, precision) -> jax.Array:
@@ -88,9 +98,7 @@ def _conv_bf16(x: jax.Array, node: Node, qp, precision) -> jax.Array:
         [(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
     y = y + qp["b"].astype(y.dtype)
-    if node.activation == "leaky":
-        y = jnp.where(y > 0, y, 0.1 * y)
-    return y
+    return _activate(y, node.activation)
 
 
 def forward_features_int8(graph: Graph, qparams, scales: Dict[int, float],

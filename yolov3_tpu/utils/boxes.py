@@ -34,7 +34,11 @@ def letterbox_params(src_hw: Tuple[int, int], net_hw: Tuple[int, int]
     sh, sw = src_hw
     nh, nw = net_hw
     scale = min(nh / sh, nw / sw)
-    new_h, new_w = int(round(sh * scale)), int(round(sw * scale))
+    # round-half-up, NOT python's banker's round(): the C++ loader and the
+    # device path must place content identically or unmapping shifts boxes
+    # by 1px on half-pixel resolutions (e.g. 832x501 -> 416)
+    new_h = int(np.floor(sh * scale + 0.5))
+    new_w = int(np.floor(sw * scale + 0.5))
     pad_top = (nh - new_h) // 2
     pad_left = (nw - new_w) // 2
     return scale, pad_top, pad_left
