@@ -1,8 +1,11 @@
-"""mAP metric tests (tools/eval_coco.py) on constructed cases with known AP."""
+"""mAP metric tests (tools/eval_coco.py) on constructed cases with known AP,
+plus an end-to-end run of the eval harness on a synthetic COCO dataset."""
+import json
+
 import numpy as np
 
 from tools.eval_coco import (average_precision, box_iou_matrix, evaluate,
-                             match_detections)
+                             match_detections, run_model_on_coco)
 
 
 def test_iou_matrix_basics():
@@ -57,6 +60,47 @@ def test_greedy_matching_one_gt_per_det():
 def test_ap_handles_empty_class():
     assert np.isnan(average_precision(np.zeros(0), np.zeros(0, bool), 0))
     assert average_precision(np.zeros(0), np.zeros(0, bool), 3) == 0.0
+
+
+def test_run_model_on_coco_end_to_end(tmp_path, cfg_paths):
+    """The full eval harness: synthetic COCO json + images + random weights
+    → finite mAP numbers without crashing (sparse category ids, mixed
+    image sizes, iscrowd skipping)."""
+    import cv2
+
+    from yolov3_tpu.graph import load_graph
+    from yolov3_tpu.weights import random_raw, write_weights
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=12))
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    for i, (h, w) in enumerate([(240, 320), (300, 300)]):
+        name = f"im{i}.jpg"
+        cv2.imwrite(str(img_dir / name),
+                    rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        images.append({"id": 100 + i, "file_name": name,
+                       "height": h, "width": w})
+        annotations.append({"id": i * 2, "image_id": 100 + i,
+                            "category_id": 18,  # sparse COCO ids
+                            "bbox": [10, 10, 80, 60], "iscrowd": 0})
+        annotations.append({"id": i * 2 + 1, "image_id": 100 + i,
+                            "category_id": 3,
+                            "bbox": [50, 50, 40, 40], "iscrowd": 1})  # skip
+    coco = {"images": images, "annotations": annotations,
+            "categories": [{"id": 3, "name": "car"},
+                           {"id": 18, "name": "dog"}]}
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps(coco))
+
+    res = run_model_on_coco(img_dir, ann_path, cfg_paths["yolov3-tiny"],
+                            wpath, prob_thresh=0.3, batch_size=2)
+    assert 0.0 <= res["mAP50"] <= 1.0
+    assert 0.0 <= res["mAP50_95"] <= res["mAP50"] + 1e-9
 
 
 def test_multi_class_macro_average():
