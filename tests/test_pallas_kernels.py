@@ -73,6 +73,29 @@ def test_pallas_conv_matches_xla(rng, shape):
                                atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("shape", [
+    (2, 8, 10, 128, 256),
+    (1, 19, 19, 256, 128),
+])
+def test_pallas_conv_roll_variant_matches_xla(rng, shape):
+    from jax import lax
+
+    from yolov3_tpu.ops.pallas_conv import conv3x3_fused_roll
+
+    b_, h, w_dim, ci, co = shape
+    x = jnp.asarray(rng.normal(0, 1, (b_, h, w_dim, ci)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.1, (3, 3, ci, co)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.1, (co,)).astype(np.float32))
+    ref = lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST) + bias
+    ref = jnp.where(ref > 0, ref, 0.1 * ref)
+    out = conv3x3_fused_roll(x, w, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
 def test_pallas_conv_linear_activation(rng):
     from jax import lax
 

@@ -70,5 +70,31 @@ def main(dtype=jnp.bfloat16):
               f"ratio {t_x/t_p:.2f}x  (rel err {rel:.1e})")
 
 
+def main_roll(dtype=None):
+    """Compare both pallas variants vs XLA."""
+    import jax.numpy as jnp
+
+    from yolov3_tpu.ops.pallas_conv import conv3x3_fused_roll
+
+    dtype = dtype or jnp.bfloat16
+    rng = np.random.default_rng(0)
+    for label, b, h, w_dim, cin, cout in SHAPES:
+        x = jnp.asarray(rng.normal(0, 1, (b, h, w_dim, cin)), dtype=dtype)
+        w = jnp.asarray(rng.normal(0, 0.05, (3, 3, cin, cout)), dtype=dtype)
+        bias = jnp.asarray(rng.normal(0, 0.1, (cout,)), dtype=jnp.float32)
+        f_xla = jax.jit(xla_conv)
+        f_dma = jax.jit(lambda x, w, b: conv3x3_fused(x, w, b))
+        f_rol = jax.jit(lambda x, w, b: conv3x3_fused_roll(x, w, b))
+        ref = np.asarray(f_xla(x, w, bias), dtype=np.float32)
+        out = np.asarray(f_rol(x, w, bias), dtype=np.float32)
+        rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6)
+        assert rel < 2e-2, f"{label} roll diverges rel={rel}"
+        t_x, t_d, t_r = (timeit(f, (x, w, bias))
+                         for f in (f_xla, f_dma, f_rol))
+        print(f"{label}: xla {t_x*1e3:6.2f} | dma9 {t_d*1e3:6.2f} "
+              f"({t_x/t_d:.2f}x) | roll {t_r*1e3:6.2f} ({t_x/t_r:.2f}x)",
+              flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    main_roll() if "--roll" in sys.argv else main()

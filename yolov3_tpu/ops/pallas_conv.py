@@ -95,6 +95,86 @@ def _conv3x3_kernel(x0_hbm, x1_hbm, x2_hbm, w_ref, b_ref, o_ref, taps_ref,
     o_ref[:] = y.reshape(th, w8, -1).astype(out_dtype)
 
 
+def _conv3x3_roll_kernel(x_hbm, w_ref, b_ref, o_ref, slab_ref, acc_ref, sem,
+                         *, th, ws, w8, c_in, leaky: bool, out_dtype):
+    # one slab DMA per program; kx shifts happen in-register via pltpu.roll
+    # (the wrapped columns land beyond w8-2 — padding that the caller slices
+    # off), so no shifted HBM copies and 1× input traffic
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(hi * th, th + 2), :, :], slab_ref, sem)
+    dma.start()
+    dma.wait()
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for ky in range(3):
+        rows = slab_ref[ky:ky + th, :, :]  # major-dim slice: no relayout
+        # Mosaic's rotate only handles 32-bit data; bf16 rolls via f32
+        rows32 = rows.astype(jnp.float32)
+        for kx in range(3):
+            # positive-shift rotate: shifted[:, j] = rows[:, j + kx]
+            shifted = (pltpu.roll(rows32, ws - kx, 1) if kx
+                       else rows32).astype(rows.dtype)
+            patch = shifted[:, :w8, :].reshape(th * w8, c_in)
+            k = ky * 3 + kx
+            acc_ref[:] += jnp.dot(patch, w_ref[k * c_in:(k + 1) * c_in, :],
+                                  preferred_element_type=jnp.float32)
+    y = acc_ref[:] + b_ref[0:1, :]
+    if leaky:
+        y = jnp.where(y > 0, y, 0.1 * y)
+    o_ref[:] = y.reshape(th, w8, -1).astype(out_dtype)
+
+
+def conv3x3_fused_roll(x: jax.Array, w_hwio: jax.Array, b: jax.Array,
+                       activation: str = "leaky", interpret: bool = False
+                       ) -> jax.Array:
+    """Roll-variant of :func:`conv3x3_fused` — same semantics, one input DMA
+    per tile instead of nine, column taps via in-register rotate."""
+    batch, h, w_dim, c_in = x.shape
+    c_out = w_hwio.shape[3]
+    w8 = _round_up(w_dim, 8)
+    ws = _round_up(w8 + 2, 8)  # slab width: halo included, sublane-aligned
+    th, tc = _pick_tiles(h, ws, c_in, c_out, x.dtype.itemsize)
+    hp = _round_up(h, th)
+
+    xp = jnp.pad(x, ((0, 0), (1, hp - h + 1), (1, ws - w_dim - 1), (0, 0)))
+    w_flat = w_hwio.reshape(9 * c_in, c_out).astype(x.dtype)
+    b_pad = jnp.broadcast_to(b.astype(jnp.float32), (8, c_out))
+
+    kernel = partial(_conv3x3_roll_kernel, th=th, ws=ws, w8=w8, c_in=c_in,
+                     leaky=(activation == "leaky"), out_dtype=x.dtype)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, hp, w8, c_out), x.dtype),
+        grid=(batch, hp // th, c_out // tc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((9 * c_in, tc), lambda bi, hi, ci: (0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tc), lambda bi, hi, ci: (0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, th, w8, tc),
+                               lambda bi, hi, ci: (bi, hi, 0, ci),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, ws, c_in), x.dtype),
+            pltpu.VMEM((th * w8, tc), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * c_in * tc * th * w8,
+            bytes_accessed=(th + 2) * ws * c_in * x.dtype.itemsize
+            + 9 * c_in * tc * x.dtype.itemsize
+            + th * w8 * tc * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, w_flat, b_pad)
+    return out[:, :h, :w_dim, :]
+
+
 def conv3x3_fused(x: jax.Array, w_hwio: jax.Array, b: jax.Array,
                   activation: str = "leaky", interpret: bool = False
                   ) -> jax.Array:
