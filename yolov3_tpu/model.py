@@ -44,12 +44,14 @@ _PRECISIONS = {
 def _conv(x: jax.Array, w: jax.Array, b: jax.Array, node: Node,
           precision, conv_impl: str = "xla") -> jax.Array:
     if conv_impl == "pallas":
-        from .ops.pallas_conv import conv3x3_fused, supported
+        # roll variant: single slab DMA per tile (benchmarked ≥ the 9-DMA
+        # variant on every yolov3 shape; see tools/bench_pallas_conv.py)
+        from .ops.pallas_conv import conv3x3_fused_roll, supported
 
         if node.pad and supported(node.size, node.stride, w.shape[2],
                                   x.shape[1], x.shape[2], node.activation):
-            return conv3x3_fused(x, w.astype(x.dtype), b,
-                                 activation=node.activation)
+            return conv3x3_fused_roll(x, w.astype(x.dtype), b,
+                                      activation=node.activation)
     pad = node.size // 2 if node.pad else 0
     y = lax.conv_general_dilated(
         x, w.astype(x.dtype),
