@@ -64,10 +64,59 @@ def time_stage(fn, args, iters=5, label=""):
     return dt
 
 
+def check_conv():
+    from jax import lax
+
+    from yolov3_tpu.ops.pallas_conv import conv3x3_fused, conv3x3_fused_roll
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (2, 19, 19, 256)), dtype=jnp.bfloat16)
+    w = jnp.asarray(rng.normal(0, 0.05, (3, 3, 256, 256)), dtype=jnp.bfloat16)
+    b = jnp.asarray(rng.normal(0, 0.1, (256,)), dtype=jnp.float32)
+    ref = lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ref = np.asarray(jnp.where(ref + b > 0, ref + b, 0.1 * (ref + b)),
+                     dtype=np.float32)
+    scale = np.abs(ref).max() + 1e-6
+    for name, fn in (("dma9", conv3x3_fused), ("roll", conv3x3_fused_roll)):
+        out = np.asarray(jax.jit(fn)(x, w, b), dtype=np.float32)
+        rel = np.abs(out - ref).max() / scale
+        print(f"pallas conv[{name}] compiled: max rel {rel:.2e}")
+        assert rel < 2e-2, f"pallas conv {name} diverges on TPU"
+
+
+def check_e2e_pipeline():
+    """Tiny end-to-end smoke on the chip: uint8 frames → detections."""
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.weights import fold_raw, random_raw
+
+    import tempfile
+
+    from yolov3_tpu.weights import write_weights
+    from yolov3_tpu.graph import load_graph
+
+    repo = Path(__file__).parent.parent
+    g = load_graph(repo / "models" / "yolov3-tiny.cfg")
+    with tempfile.NamedTemporaryFile(suffix=".weights") as f:
+        write_weights(f.name, g, random_raw(g, seed=0))
+        net = Darknet(repo / "models" / "yolov3-tiny.cfg",
+                      precision="bf16").load_weights(f.name)
+    det = Detector(net, prob_thresh=0.3)
+    frames = np.random.default_rng(0).integers(
+        0, 256, (2, 480, 640, 3), dtype=np.uint8)
+    results = det.detect_batch(frames)
+    print(f"e2e pipeline compiled: {len(results)} images, "
+          f"{sum(len(r.bbox_tlbr) for r in results)} detections")
+
+
 def main():
     print("devices:", jax.devices())
     check_decode()
     check_nms()
+    check_conv()
+    check_e2e_pipeline()
     print("OK")
 
 

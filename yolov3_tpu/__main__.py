@@ -72,6 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="NMS suppression backend")
     p.add_argument("--summary", action="store_true",
                    help="print the darknet-style layer table before running")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent XLA compilation cache")
     return p
 
 
@@ -85,6 +87,20 @@ def main(argv=None) -> int:
         format="%(asctime)s %(name)s %(levelname)s %(message)s")
 
     import jax
+
+    if not args.no_compile_cache:
+        import os
+
+        # persistent XLA compile cache: repeat CLI runs skip the ~60s TPU
+        # compile (measured 59s -> 7s on tiny@416). Set via jax.config —
+        # the env var is latched before main() runs when a sitecustomize
+        # imports jax at interpreter start.
+        cache_dir = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                     or os.path.join(os.path.expanduser("~"), ".cache",
+                                     "yolov3_tpu", "xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.device:
         kind, _, idx = args.device.partition(":")
