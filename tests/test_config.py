@@ -132,6 +132,14 @@ def test_lower_rejects_bad_graphs():
         ))
 
 
+def test_bom_and_crlf_cfg():
+    """Windows-edited cfgs: UTF-8 BOM + CRLF line endings parse cleanly."""
+    text = "﻿[net]\r\nwidth=416\r\nheight=416\r\n\r\n[convolutional]\r\nfilters=8\r\nsize=3\r\nstride=1\r\npad=1\r\nactivation=leaky\r\n"
+    blocks = parse_config_text(text)
+    assert blocks[0]["type"] == "net" and blocks[0]["width"] == 416
+    assert blocks[1]["filters"] == 8
+
+
 def test_summary_table(cfg_paths):
     g = load_graph(cfg_paths["yolov3"])
     s = g.summary()

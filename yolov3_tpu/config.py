@@ -47,6 +47,7 @@ def parse_config_text(text: str) -> List[Block]:
     """
     blocks: List[Block] = []
     current: Block | None = None
+    text = text.lstrip("\ufeff")  # Windows-edited cfgs ship a BOM
     for raw_line in text.splitlines():
         line = raw_line.strip()
         if not line or line.startswith(("#", ";")):

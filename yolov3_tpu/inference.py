@@ -414,17 +414,54 @@ def detect_directory(detector: Detector, dir_path, batch_size: int = 32,
 
     if native_mod.available():
         # C++ host letterbox assembles arbitrary shapes into fixed-shape
-        # uint8 batches -> one compiled executable total, streaming order
+        # uint8 batches -> one compiled executable total, streaming order.
+        # Submissions pipeline (depth 2): host decode + letterbox of chunk
+        # i+1 overlap device compute of chunk i.
+        in_flight: List[Tuple[List, List, object]] = []
+
+        def submit(chunk):
+            frames = [f for _, f in chunk]
+            if detector.resize_mode != "letterbox":
+                canvases = np.concatenate(
+                    [native_mod.stretch_batch_native(
+                        f[None], detector.net_hw, swap_rb=detector.bgr)
+                     for f in frames])
+            else:
+                canvases = native_mod.letterbox_mixed_native(
+                    frames, detector.net_hw, swap_rb=detector.bgr)
+            device_frames, b, n_real = detector._stage_batch(canvases)
+            run = detector._pipeline(b, detector.net_hw, bgr=False)
+            res = run(detector.net.params, device_frames)
+            src_hws = [f.shape[:2] for f in frames]
+            in_flight.append((chunk, src_hws, res))
+            while len(in_flight) > 2:
+                drain()
+
+        def drain():
+            chunk, src_hws, res = in_flight.pop(0)
+            dets = detector._unpack(res, detector.net_hw)[:len(chunk)]
+            unmapped = [
+                Detection(
+                    bbox_tlbr=(unletterbox_tlbr
+                               if detector.resize_mode == "letterbox"
+                               else unstretch_tlbr)(
+                        d.bbox_tlbr, hw, detector.net_hw),
+                    class_prob=d.class_prob, class_idx=d.class_idx)
+                for d, hw in zip(dets, src_hws)]
+            emit(chunk, unmapped)
+
         chunk: List[Tuple[Path, np.ndarray]] = []
         for p, frame in decoded_iter():
             if frame is None:
                 continue
             chunk.append((p, frame))
             if len(chunk) == batch_size:
-                emit(chunk, detector.detect_mixed([f for _, f in chunk]))
+                submit(chunk)
                 chunk = []
         if chunk:
-            emit(chunk, detector.detect_mixed([f for _, f in chunk]))
+            submit(chunk)
+        while in_flight:
+            drain()
     else:
         # pure-device fallback: bucket incrementally by source shape, flush
         # each bucket as it fills (memory ≤ #shapes × batch_size frames)
