@@ -1,0 +1,78 @@
+"""HTTP serving endpoint tests: detect round-trip, health/stats, error paths."""
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from yolov3_tpu.graph import load_graph
+from yolov3_tpu.weights import random_raw, write_weights
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory, cfg_paths):
+    import cv2
+
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.serve import serve
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    wpath = tmp_path_factory.mktemp("w") / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=30))
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(wpath)
+    det = Detector(net, prob_thresh=0.3, net_hw=(160, 160))
+
+    srv = serve(det, class_names=["c%d" % i for i in range(80)],
+                host="127.0.0.1", port=0, warmup_hw=(240, 320))
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(url, data):
+    req = urllib.request.Request(url, data=data, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_detect_roundtrip(server):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
+    ok, buf = cv2.imencode(".jpg", img)
+    assert ok
+    status, body = _post(server + "/detect", buf.tobytes())
+    assert status == 200
+    assert body["image_hw"] == [240, 320]
+    assert body["latency_ms"] > 0
+    for d in body["detections"]:
+        assert len(d["bbox_tlbr"]) == 4
+        assert 0.0 <= d["score"] <= 1.0
+        assert d["class_name"].startswith("c")
+
+
+def test_healthz_and_stats(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=10) as r:
+        assert json.loads(r.read())["status"] == "ok"
+    with urllib.request.urlopen(server + "/stats", timeout=10) as r:
+        stats = json.loads(r.read())
+    assert stats["requests"] >= 1
+    assert stats["mean_latency_ms"] > 0
+
+
+def test_bad_payload_is_400(server):
+    status, body = _post(server + "/detect", b"this is not an image")
+    assert status == 400
+    assert "decode" in body["error"]
+
+
+def test_unknown_path_404(server):
+    status, _ = _post(server + "/nope", b"x")
+    assert status == 404
