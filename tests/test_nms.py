@@ -132,6 +132,39 @@ def test_top_k_cap_keeps_highest():
                                expected, rtol=1e-5)
 
 
+def test_max_results_compaction():
+    """compact_results keeps exactly the top survivors, same contents."""
+    from yolov3_tpu.ops.nms import batched_nms_compact
+    from yolov3_tpu.utils.boxes import cxywh_to_tlbr
+
+    rng = np.random.default_rng(23)
+    det = random_detections(rng, n=400)
+    boxes = jnp.asarray(cxywh_to_tlbr(det[None, :, :4]))
+    obj = det[:, 4]
+    cls_prob = det[:, 5:].max(1)
+    scores = jnp.asarray((obj * cls_prob)[None])
+    classes = jnp.asarray(det[:, 5:].argmax(1).astype(np.int32)[None])
+
+    full = batched_nms_compact(boxes, scores, classes, prob_thresh=0.1,
+                               iou_thresh=0.5, top_k=256)
+    small = batched_nms_compact(boxes, scores, classes, prob_thresh=0.1,
+                                iou_thresh=0.5, top_k=256, max_results=16)
+    assert small.boxes.shape == (1, 16, 4)
+    n_full = int(np.asarray(full.valid).sum())
+    # survivors in the compact output = top-16 of the full output by score
+    full_scores = np.sort(np.asarray(full.scores[0]))[::-1][:min(16, n_full)]
+    small_scores = np.sort(np.asarray(small.scores[0]))[::-1][:min(16, n_full)]
+    np.testing.assert_allclose(small_scores, full_scores, rtol=1e-6)
+    # boxes/classes agree for the shared survivors
+    full_set = {(round(float(s), 5), int(c))
+                for s, c, v in zip(full.scores[0], full.classes[0],
+                                   full.valid[0]) if v}
+    small_set = {(round(float(s), 5), int(c))
+                 for s, c, v in zip(small.scores[0], small.classes[0],
+                                    small.valid[0]) if v}
+    assert small_set <= full_set
+
+
 def test_batched_independence():
     """Each batch element is NMS'd independently."""
     rng = np.random.default_rng(19)

@@ -56,7 +56,7 @@ class Detector:
                  iou_thresh: float = 0.3, resize_mode: str = "letterbox",
                  top_k: int = 512, bgr: bool = True,
                  net_hw: Optional[Tuple[int, int]] = None, mesh=None,
-                 nms_impl: str = "xla"):
+                 nms_impl: str = "xla", max_results: int = 128):
         self.net = net
         self.prob_thresh = float(prob_thresh)
         self.iou_thresh = float(iou_thresh)
@@ -64,6 +64,9 @@ class Detector:
         self.top_k = int(top_k)
         self.bgr = bgr
         self.nms_impl = nms_impl
+        # post-NMS output compaction: K=512 slots of NMS working set shrink
+        # to the top max_results survivors before leaving the device
+        self.max_results = int(max_results)
         self.net_hw = tuple(net_hw) if net_hw else net.net_size
         # batch-DP over a device mesh (SURVEY.md §2.15): params replicate
         # once, every batch shards on its leading axis; single-device mesh
@@ -94,6 +97,7 @@ class Detector:
         precision = self.net.precision
         conv_impl = self.net.conv_impl
         nms_impl = self.nms_impl
+        max_results = self.max_results
 
         if self.mesh is not None:
             from .parallel.sharding import sharded_pipeline
@@ -104,7 +108,8 @@ class Detector:
                                          top_k=top_k, mode=mode,
                                          precision=precision, bgr=bgr,
                                          act_scales=self.net.act_scales,
-                                         nms_impl=nms_impl)
+                                         nms_impl=nms_impl,
+                                         max_results=max_results)
                 qparams = self.net.qparams
                 run = lambda params, frames: run_q(qparams, frames)  # noqa: E731
             else:
@@ -113,7 +118,8 @@ class Detector:
                                        top_k=top_k, mode=mode,
                                        precision=precision, bgr=bgr,
                                        conv_impl=conv_impl,
-                                       nms_impl=nms_impl)
+                                       nms_impl=nms_impl,
+                                       max_results=max_results)
             self._pipelines[key] = run
             return run
 
@@ -132,7 +138,8 @@ class Detector:
                     precision=precision or "bf16")
                 return batched_nms_compact(boxes, scores, classes,
                                            prob_thresh=prob, iou_thresh=iou,
-                                           top_k=top_k, impl=nms_impl)
+                                           top_k=top_k, impl=nms_impl,
+                                           max_results=max_results)
 
             run = lambda params, frames: run_q(qparams, frames)  # noqa: E731
             self._pipelines[key] = run
@@ -150,7 +157,8 @@ class Detector:
                                                      conv_impl=conv_impl)
             return batched_nms_compact(boxes, scores, classes,
                                        prob_thresh=prob, iou_thresh=iou,
-                                       top_k=top_k, impl=nms_impl)
+                                       top_k=top_k, impl=nms_impl,
+                                       max_results=max_results)
 
         self._pipelines[key] = run
         return run

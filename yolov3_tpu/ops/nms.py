@@ -83,6 +83,25 @@ def _candidates(det: jax.Array, prob_thresh: float, top_k: int):
     return boxes, top_scores, class_idx[top_i], valid
 
 
+def compact_results(res: NMSResult, max_results: int) -> NMSResult:
+    """Gather the top ``max_results`` survivors per image (score-desc).
+
+    Post-NMS survivor counts are far below the NMS working set K; shrinking
+    the returned buffers cuts device→host transfer by K/max_results (COCO
+    evaluation itself caps at 100 detections/image)."""
+    k = res.scores.shape[1]
+    r = min(max_results, k)
+    top_scores, idx = lax.top_k(jnp.where(res.valid, res.scores, -1.0), r)
+    take = lambda a: jnp.take_along_axis(a, idx, axis=1)  # noqa: E731
+    valid = take(res.valid) & (top_scores > 0)
+    return NMSResult(
+        boxes=jnp.take_along_axis(res.boxes, idx[..., None], axis=1),
+        scores=jnp.where(valid, top_scores, 0.0),
+        classes=jnp.where(valid, take(res.classes), -1),
+        valid=valid,
+    )
+
+
 def _suppress_batch(boxes, scores, classes, valid, iou_thresh, impl,
                     interpret):
     if impl == "pallas":
@@ -127,16 +146,17 @@ def batched_nms(detections: jax.Array, prob_thresh: float = 0.05,
 
 
 @partial(jax.jit, static_argnames=("prob_thresh", "iou_thresh", "top_k",
-                                   "impl", "interpret"))
+                                   "impl", "interpret", "max_results"))
 def batched_nms_compact(boxes: jax.Array, scores: jax.Array,
                         classes: jax.Array, prob_thresh: float = 0.05,
                         iou_thresh: float = 0.3, top_k: int = 512,
-                        impl: str = "xla",
-                        interpret: bool = False) -> NMSResult:
+                        impl: str = "xla", interpret: bool = False,
+                        max_results: int = 0) -> NMSResult:
     """NMS over compact-decode outputs (serving path): tlbr boxes (B, N, 4),
     scores (B, N), classes (B, N) — score/class reduction already fused into
     decode, so this is just threshold → top-k gather → greedy suppression.
     Identical semantics/results to :func:`batched_nms` on the same data.
+    ``max_results > 0`` compacts the output to that many top survivors.
     """
     masked = jnp.where(scores >= prob_thresh, scores, 0.0)
     k = min(top_k, scores.shape[1])
@@ -144,5 +164,8 @@ def batched_nms_compact(boxes: jax.Array, scores: jax.Array,
     valid = top_scores > 0.0
     top_boxes = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
     top_classes = jnp.take_along_axis(classes, top_i, axis=1)
-    return _suppress_batch(top_boxes, top_scores, top_classes, valid,
-                           iou_thresh, impl, interpret)
+    res = _suppress_batch(top_boxes, top_scores, top_classes, valid,
+                          iou_thresh, impl, interpret)
+    if max_results and max_results < k:
+        res = compact_results(res, max_results)
+    return res

@@ -61,7 +61,7 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
                      top_k: int = 512, mode: str = "letterbox",
                      precision: Optional[str] = None, bgr: bool = True,
                      act_scales=None, conv_impl: str = "xla",
-                     nms_impl: str = "xla"):
+                     nms_impl: str = "xla", max_results: int = 0):
     """Build the batch-DP end-to-end detect step, jitted over ``mesh``.
 
     Returns ``run(params, frames_u8)``: uint8 (B, H, W, 3) sharded on batch →
@@ -92,7 +92,7 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
         return batched_nms_compact(boxes, scores, classes,
                                    prob_thresh=prob_thresh,
                                    iou_thresh=iou_thresh, top_k=top_k,
-                                   impl=nms_impl)
+                                   impl=nms_impl, max_results=max_results)
 
     return jax.jit(
         step,
