@@ -11,7 +11,7 @@ from yolov3_tpu.graph import load_graph
 from yolov3_tpu.model import forward_compact
 from yolov3_tpu.ops.nms import batched_nms_compact
 from yolov3_tpu.quant import (calibrate, eligible, forward_compact_int8,
-                              quantize_weights)
+                              forward_features_int8, quantize_weights)
 from yolov3_tpu.weights import fold_raw, random_raw
 
 
@@ -92,6 +92,39 @@ def test_int8_box_parity_with_fp32(setup):
             matched += best > 0.9
     assert total > 0
     assert matched / total >= 0.8, f"int8 parity {matched}/{total}"
+
+
+def test_chain_targets_structure(cfg_paths):
+    """yolov3's residual bottleneck 1x1s chain into their 3x3 consumers."""
+    from yolov3_tpu.quant import chain_targets
+
+    g = load_graph(cfg_paths["yolov3"])
+    q = quantize_weights(g, jax.tree.map(
+        jnp.asarray, __import__("yolov3_tpu.weights", fromlist=["fold_raw"])
+        .fold_raw(random_raw(g, seed=1))))
+    chains = chain_targets(g, q)
+    # first residual block: conv2 (1x1 32) -> conv3 (3x3 64)
+    assert chains.get(2) == 3
+    # conv3 feeds the shortcut -> must NOT chain
+    assert 3 not in chains
+    # backbone has 23 residual blocks; every bottleneck 1x1 chains
+    assert len(chains) >= 23
+
+
+def test_chain_emission_matches_unchained(setup):
+    """chain=True and chain=False agree to quantization-step tolerance."""
+    g, params, x = setup
+    scales = calibrate(g, params, [x], precision=None)
+    q = quantize_weights(g, params)
+    h_chain = forward_features_int8(g, q, scales, x, precision=None,
+                                    chain=True)
+    h_plain = forward_features_int8(g, q, scales, x, precision=None,
+                                    chain=False)
+    for a, b in zip(h_chain, h_plain):
+        # only difference: chained activations skip a bf16 rounding
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=0.15, rtol=0.05)
 
 
 def test_detector_int8_integration(setup, cfg_paths, tmp_path):
