@@ -144,8 +144,10 @@ def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
     images = coco["images"][:limit] if limit else coco["images"]
 
     net = Darknet(cfg, precision=precision).load_weights(weights)
+    # max_results must not cap below top_k: mAP at low thresholds counts the
+    # full survivor set (COCO's own 100-det cap is NOT applied here)
     det = Detector(net, prob_thresh=prob_thresh, iou_thresh=iou_thresh,
-                   top_k=512)
+                   top_k=512, max_results=0)
 
     detections = {}
     frames, metas = [], []

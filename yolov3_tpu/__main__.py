@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "fully in bfloat16 (fastest; decode stays fp32)")
     p.add_argument("--top-k", type=int, default=512,
                    help="static NMS candidate cap per image")
+    p.add_argument("--max-results", type=int, default=128,
+                   help="max returned detections per image (0 = all top-k "
+                        "slots; smaller = less device->host transfer)")
     p.add_argument("--cache-params", action="store_true",
                    help="cache converted/folded params on disk for fast reload")
     p.add_argument("--quantize-int8", metavar="CALIB_DIR", default=None,
@@ -98,9 +101,13 @@ def main(argv=None) -> int:
         cache_dir = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
                      or os.path.join(os.path.expanduser("~"), ".cache",
                                      "yolov3_tpu", "xla"))
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        try:  # purely an optimization: unwritable HOME must not kill the CLI
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except OSError:
+            pass
 
     if args.device:
         kind, _, idx = args.device.partition(":")
@@ -143,7 +150,8 @@ def main(argv=None) -> int:
     detector = Detector(net, prob_thresh=args.prob_thresh,
                         iou_thresh=args.iou_thresh,
                         resize_mode=args.resize_mode, top_k=args.top_k,
-                        net_hw=net_hw, nms_impl=args.nms_impl)
+                        net_hw=net_hw, nms_impl=args.nms_impl,
+                        max_results=args.max_results)
     class_names = (load_class_names(args.class_names)
                    if Path(args.class_names).exists() else None)
 

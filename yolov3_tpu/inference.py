@@ -163,9 +163,11 @@ class Detector:
         self._pipelines[key] = run
         return run
 
-    def _unpack(self, res, src_hw: Tuple[int, int]) -> List[Detection]:
+    def _unpack(self, res, src_hw: Optional[Tuple[int, int]]
+                ) -> List[Detection]:
         """Materialize a device NMSResult: unpack ≤K survivors per image and
-        rescale to source coordinates (all same-shape sources)."""
+        rescale to source coordinates (all same-shape sources).
+        ``src_hw=None`` skips rescaling (boxes stay in net-input pixels)."""
         valid = np.asarray(res.valid)
         boxes = np.asarray(res.boxes)
         scores = np.asarray(res.scores)
@@ -175,11 +177,31 @@ class Detector:
         for i in range(valid.shape[0]):
             m = valid[i]
             out.append(Detection(
-                bbox_tlbr=unmap(boxes[i][m], src_hw, self.net_hw),
+                bbox_tlbr=(boxes[i][m] if src_hw is None
+                           else unmap(boxes[i][m], src_hw, self.net_hw)),
                 class_prob=scores[i][m],
                 class_idx=classes[i][m],
             ))
         return out
+
+    def _build_canvases(self, frames: Sequence[np.ndarray]) -> np.ndarray:
+        """Host-letterbox arbitrary-size frames into one (B, net_h, net_w, 3)
+        RGB uint8 batch via the C++ loader."""
+        from . import native
+
+        if self.resize_mode != "letterbox":
+            return np.concatenate(
+                [native.stretch_batch_native(f[None], self.net_hw,
+                                             swap_rb=self.bgr)
+                 for f in frames])
+        return native.letterbox_mixed_native(frames, self.net_hw,
+                                             swap_rb=self.bgr)
+
+    def _unmap_one(self, det: Detection, src_hw: Tuple[int, int]) -> Detection:
+        """Rescale a net-coordinate Detection to one source image's pixels."""
+        unmap = unletterbox_tlbr if self.resize_mode == "letterbox" else unstretch_tlbr
+        return Detection(bbox_tlbr=unmap(det.bbox_tlbr, src_hw, self.net_hw),
+                         class_prob=det.class_prob, class_idx=det.class_idx)
 
     def _stage_batch(self, frames: np.ndarray):
         """Host batch → device array: on a mesh, pad the batch up to a
@@ -226,14 +248,7 @@ class Detector:
 
         if not native.available():
             return [d for f in frames for d in self.detect_batch(f)]
-        if self.resize_mode != "letterbox":
-            canvases = np.concatenate(
-                [native.stretch_batch_native(f[None], self.net_hw,
-                                             swap_rb=self.bgr)
-                 for f in frames])
-        else:
-            canvases = native.letterbox_mixed_native(frames, self.net_hw,
-                                                     swap_rb=self.bgr)
+        canvases = self._build_canvases(frames)
         src_hws = [f.shape[:2] for f in frames]
         return self.detect_preletterboxed(canvases, src_hws)
 
@@ -246,20 +261,8 @@ class Detector:
         device_frames, b, n_real = self._stage_batch(canvases)
         run = self._pipeline(b, self.net_hw, bgr=False)
         res = run(self.net.params, device_frames)
-        valid = np.asarray(res.valid)
-        boxes = np.asarray(res.boxes)
-        scores = np.asarray(res.scores)
-        classes = np.asarray(res.classes)
-        unmap = unletterbox_tlbr if self.resize_mode == "letterbox" else unstretch_tlbr
-        out: List[Detection] = []
-        for i in range(n_real):
-            m = valid[i]
-            out.append(Detection(
-                bbox_tlbr=unmap(boxes[i][m], src_hws[i], self.net_hw),
-                class_prob=scores[i][m],
-                class_idx=classes[i][m],
-            ))
-        return out
+        dets = self._unpack(res, None)[:n_real]  # net coords
+        return [self._unmap_one(d, hw) for d, hw in zip(dets, src_hws)]
 
     def warmup(self, batch: int, src_hw: Tuple[int, int],
                host_preprocessed: bool = False) -> "Detector":
@@ -429,34 +432,19 @@ def detect_directory(detector: Detector, dir_path, batch_size: int = 32,
 
         def submit(chunk):
             frames = [f for _, f in chunk]
-            if detector.resize_mode != "letterbox":
-                canvases = np.concatenate(
-                    [native_mod.stretch_batch_native(
-                        f[None], detector.net_hw, swap_rb=detector.bgr)
-                     for f in frames])
-            else:
-                canvases = native_mod.letterbox_mixed_native(
-                    frames, detector.net_hw, swap_rb=detector.bgr)
+            canvases = detector._build_canvases(frames)
             device_frames, b, n_real = detector._stage_batch(canvases)
             run = detector._pipeline(b, detector.net_hw, bgr=False)
             res = run(detector.net.params, device_frames)
-            src_hws = [f.shape[:2] for f in frames]
-            in_flight.append((chunk, src_hws, res))
+            in_flight.append((chunk, [f.shape[:2] for f in frames], res))
             while len(in_flight) > 2:
                 drain()
 
         def drain():
             chunk, src_hws, res = in_flight.pop(0)
-            dets = detector._unpack(res, detector.net_hw)[:len(chunk)]
-            unmapped = [
-                Detection(
-                    bbox_tlbr=(unletterbox_tlbr
-                               if detector.resize_mode == "letterbox"
-                               else unstretch_tlbr)(
-                        d.bbox_tlbr, hw, detector.net_hw),
-                    class_prob=d.class_prob, class_idx=d.class_idx)
-                for d, hw in zip(dets, src_hws)]
-            emit(chunk, unmapped)
+            dets = detector._unpack(res, None)[:len(chunk)]  # net coords
+            emit(chunk, [detector._unmap_one(d, hw)
+                         for d, hw in zip(dets, src_hws)])
 
         chunk: List[Tuple[Path, np.ndarray]] = []
         for p, frame in decoded_iter():

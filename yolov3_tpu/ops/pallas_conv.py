@@ -47,15 +47,21 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pick_tiles(h: int, w8: int, c_in: int, c_out: int, itemsize: int):
-    """Row tile + cout tile under the VMEM budget. tc must divide c_out."""
+def _pick_tiles(h: int, w8: int, c_in: int, c_out: int, itemsize: int,
+                tap_buffers: int = 9):
+    """Row tile + cout tile under the VMEM budget. tc must divide c_out.
+
+    ``tap_buffers``: resident input buffers the kernel variant allocates —
+    9 tap slabs for the DMA variant, 1 halo slab for the roll variant
+    (budgeting 9 for roll would shrink its tiles ~4.5× below what fits).
+    """
     tc = c_out
     for cand in (256, 128, 64, 32):
         if c_out >= cand and c_out % cand == 0:
             tc = cand
             break
     for th in (16, 8, 4, 2, 1):
-        taps = 9 * th * w8 * c_in * itemsize
+        taps = tap_buffers * (th + 2) * w8 * c_in * itemsize
         wblk = 9 * c_in * tc * itemsize
         acc = th * w8 * tc * 4
         out = th * w8 * tc * itemsize
@@ -135,7 +141,7 @@ def conv3x3_fused_roll(x: jax.Array, w_hwio: jax.Array, b: jax.Array,
     c_out = w_hwio.shape[3]
     w8 = _round_up(w_dim, 8)
     ws = _round_up(w8 + 2, 8)  # slab width: halo included, sublane-aligned
-    th, tc = _pick_tiles(h, ws, c_in, c_out, x.dtype.itemsize)
+    th, tc = _pick_tiles(h, ws, c_in, c_out, x.dtype.itemsize, tap_buffers=1)
     hp = _round_up(h, th)
 
     xp = jnp.pad(x, ((0, 0), (1, hp - h + 1), (1, ws - w_dim - 1), (0, 0)))

@@ -146,6 +146,7 @@ def forward_features_int8(graph: Graph, qparams, scales: Dict[int, float],
     cache: Dict[int, jax.Array] = {}
     heads: List[jax.Array] = []
     prev = x.astype(jnp.bfloat16) if precision == "bf16" else x
+    carrier_dtype = prev.dtype  # activation dtype between ops (bf16 or fp32)
     prev_q = None  # int8 tensor already in THIS node's input scale
     for node in graph.nodes:
         out_q = None
@@ -164,8 +165,7 @@ def forward_features_int8(graph: Graph, qparams, scales: Dict[int, float],
                                      -127, 127).astype(jnp.int8)
                     out = out_q  # placeholder; consumer uses out_q
                 else:
-                    out = y.astype(prev.dtype if prev_q is None
-                                   else jnp.bfloat16)
+                    out = y.astype(carrier_dtype)
             else:
                 out = _conv_bf16(prev, node, qp, prec)
         elif node.kind == "maxpool":

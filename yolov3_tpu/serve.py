@@ -79,7 +79,16 @@ def make_handler(detector, class_names, stats: _Stats):
                                      cv2.IMREAD_COLOR)
                 if frame is None:
                     raise ValueError("could not decode image")
-                (det,) = detector.detect_batch(frame)
+            except Exception as e:  # noqa: BLE001 - request validation
+                stats.errors += 1
+                self._json(400, {"error": str(e)})
+                return
+            try:
+                # detect_mixed letterboxes on the host -> ONE compiled
+                # executable serves any client resolution (detect_batch
+                # would compile ~60s per novel source shape, stalling the
+                # single-threaded server)
+                (det,) = detector.detect_mixed([frame])
                 out = [{
                     "bbox_tlbr": [round(float(v), 2) for v in box],
                     "score": round(float(s), 4),
@@ -97,7 +106,8 @@ def make_handler(detector, class_names, stats: _Stats):
                                  "image_hw": list(frame.shape[:2])})
             except Exception as e:  # noqa: BLE001 - serving boundary
                 stats.errors += 1
-                self._json(400, {"error": str(e)})
+                # inference failures are server faults, not client errors
+                self._json(500, {"error": str(e)})
 
     return Handler
 
@@ -107,9 +117,14 @@ def serve(detector, class_names=None, host: str = "127.0.0.1",
           server_cls=HTTPServer):
     """Start the blocking HTTP serving loop (returns the server if
     ``server_cls`` overrides serve_forever, e.g. in tests)."""
+    from . import native
+
     stats = _Stats()
     if warmup_hw:
-        detector.warmup(1, tuple(warmup_hw))
+        # warm the host-letterboxed pipeline (what /detect uses when the C++
+        # loader is available — one executable for every client resolution)
+        detector.warmup(1, tuple(warmup_hw),
+                        host_preprocessed=native.available())
     server = server_cls((host, port), make_handler(detector, class_names,
                                                    stats))
     return server
