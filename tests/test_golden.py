@@ -1,0 +1,47 @@
+"""Golden regression fixture: frozen end-to-end detections for a fixed seed.
+
+Guards against silent semantic drift (decode math, NMS ordering, preprocess
+geometry, weight folding) without needing the torch oracle — if this fails
+and the change was intentional, regenerate via the script in the fixture's
+git history (tests/data/golden_tiny.json).
+"""
+import json
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from yolov3_tpu.graph import load_graph
+from yolov3_tpu.model import forward_compact
+from yolov3_tpu.ops.nms import batched_nms_compact
+from yolov3_tpu.ops.preprocess import preprocess
+from yolov3_tpu.weights import fold_raw, random_raw
+
+GOLDEN = Path(__file__).parent / "data" / "golden_tiny.json"
+
+
+def test_golden_detections(cfg_paths):
+    golden = json.loads(GOLDEN.read_text())
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    params = jax.tree.map(jnp.asarray, fold_raw(random_raw(g, seed=golden["seed"])))
+    frames = np.random.default_rng(golden["seed"]).integers(
+        0, 256, (1, 480, 640, 3), dtype=np.uint8)
+    x = preprocess(jnp.asarray(frames)[..., ::-1], (416, 416))
+    bx, sc, cl = forward_compact(g, params, x, precision="highest")
+    res = batched_nms_compact(bx, sc, cl, prob_thresh=golden["prob_thresh"],
+                              iou_thresh=golden["iou_thresh"],
+                              top_k=golden["top_k"])
+    v = np.asarray(res.valid[0])
+    boxes = np.asarray(res.boxes[0][v])
+    scores = np.asarray(res.scores[0][v])
+    classes = np.asarray(res.classes[0][v])
+
+    assert len(scores) == len(golden["scores"]), (
+        f"{len(scores)} survivors vs golden {len(golden['scores'])}")
+    np.testing.assert_array_equal(classes, np.asarray(golden["classes"]))
+    np.testing.assert_allclose(scores, np.asarray(golden["scores"]),
+                               atol=1e-4)
+    np.testing.assert_allclose(boxes, np.asarray(golden["boxes"]), atol=0.1)
