@@ -132,6 +132,23 @@ def test_lower_rejects_bad_graphs():
         ))
 
 
+def test_shipped_cfgs_match_generator(tmp_path, models_dir):
+    """models/*.cfg must stay in sync with tools/gen_cfgs.py (the generator
+    is the source of truth; drift means silently divergent architectures)."""
+    import os
+    import subprocess
+    import sys
+
+    subprocess.run([sys.executable,
+                    os.path.join(os.path.dirname(models_dir), "tools",
+                                 "gen_cfgs.py"), str(tmp_path)], check=True)
+    for name in ("yolov3.cfg", "yolov3-tiny.cfg", "yolov3-spp.cfg",
+                 "coco.names"):
+        fresh = (tmp_path / name).read_text()
+        shipped = open(os.path.join(models_dir, name)).read()
+        assert fresh == shipped, f"{name} drifted from tools/gen_cfgs.py"
+
+
 def test_bom_and_crlf_cfg():
     """Windows-edited cfgs: UTF-8 BOM + CRLF line endings parse cleanly."""
     text = "﻿[net]\r\nwidth=416\r\nheight=416\r\n\r\n[convolutional]\r\nfilters=8\r\nsize=3\r\nstride=1\r\npad=1\r\nactivation=leaky\r\n"

@@ -127,6 +127,14 @@ def test_chain_emission_matches_unchained(setup):
                                    atol=0.15, rtol=0.05)
 
 
+def test_quantize_before_load_raises(cfg_paths):
+    from yolov3_tpu.model import Darknet
+
+    net = Darknet(cfg_paths["yolov3-tiny"])
+    with pytest.raises(RuntimeError, match="load_weights"):
+        net.quantize_int8(np.zeros((1, 64, 64, 3), np.uint8))
+
+
 def test_detector_int8_integration(setup, cfg_paths, tmp_path):
     from yolov3_tpu.inference import Detector
     from yolov3_tpu.model import Darknet
