@@ -76,3 +76,48 @@ def test_bad_payload_is_400(server):
 def test_unknown_path_404(server):
     status, _ = _post(server + "/nope", b"x")
     assert status == 404
+
+
+@pytest.fixture(scope="module")
+def batched_server(tmp_path_factory, cfg_paths):
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.serve import serve
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    wpath = tmp_path_factory.mktemp("w2") / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=31))
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(wpath)
+    det = Detector(net, prob_thresh=0.3, net_hw=(160, 160))
+    srv = serve(det, host="127.0.0.1", port=0, warmup_hw=(240, 320),
+                batch_window_s=0.02, max_batch=4)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.batcher.stop()
+
+
+def test_microbatched_concurrent_requests(batched_server):
+    """8 concurrent clients through the micro-batcher: all succeed and the
+    batcher coalesced them (server stays correct under concurrency)."""
+    import cv2
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = np.random.default_rng(1)
+
+    def one(i):
+        img = rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
+        ok, buf = cv2.imencode(".jpg", img)
+        assert ok
+        return _post(batched_server + "/detect", buf.tobytes())
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(one, range(8)))
+    assert all(status == 200 for status, _ in results)
+    assert all("detections" in body for _, body in results)
+
+
+def test_microbatched_bad_payload(batched_server):
+    status, body = _post(batched_server + "/detect", b"garbage")
+    assert status == 400

@@ -12,16 +12,23 @@ Stdlib-only HTTP server: POST an encoded image (JPEG/PNG bytes) to ``/detect``
 Endpoints: ``POST /detect`` (image bytes → detections),
 ``GET /healthz`` (readiness), ``GET /stats`` (request counters/latency).
 
-Single-threaded handler by design: one TPU, one pipeline — concurrency
-belongs in batching (clients that need throughput should send batches to a
-directory/stream pipeline instead); the handler itself is already overlapped
-with NIC/decode work by cv2/JAX releasing the GIL.
+Two modes:
+
+* default — single-threaded handler: one TPU, one pipeline; decode/NIC work
+  already overlaps device compute via the GIL-releasing cv2/JAX calls;
+* ``--batch-window MS`` — threaded server + **micro-batching**: concurrent
+  requests coalesce for up to MS milliseconds (max ``--max-batch``) into one
+  device batch via the host-letterboxed pipeline — the standard
+  accelerator-serving pattern (small latency tax, large throughput gain
+  under concurrency).
 """
 from __future__ import annotations
 
 import json
+import queue as queue_mod
+import threading
 import time
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
@@ -35,7 +42,68 @@ class _Stats:
         self.started = time.time()
 
 
-def make_handler(detector, class_names, stats: _Stats):
+class MicroBatcher:
+    """Coalesces concurrent detect requests into device batches.
+
+    Requests enqueue (frame, Event, slot); a worker thread collects up to
+    ``max_batch`` frames within ``window_s`` of the first arrival and runs
+    one host-letterboxed device step for all of them. Callers block on their
+    Event (with timeout) and read their slot.
+    """
+
+    def __init__(self, detector, window_s: float = 0.005,
+                 max_batch: int = 16):
+        self.detector = detector
+        self.window_s = float(window_s)
+        self.max_batch = int(max_batch)
+        self._q: "queue_mod.Queue" = queue_mod.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def detect(self, frame, timeout: float = 120.0):
+        done = threading.Event()
+        slot: dict = {}
+        self._q.put((frame, done, slot))
+        if not done.wait(timeout):
+            raise TimeoutError("detection timed out")
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["result"]
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue_mod.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.window_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue_mod.Empty:
+                    break
+            frames = [item[0] for item in batch]
+            try:
+                results = self.detector.detect_mixed(frames)
+                for (_, done, slot), res in zip(batch, results):
+                    slot["result"] = res
+                    done.set()
+            except Exception as e:  # noqa: BLE001 - worker boundary
+                for _, done, slot in batch:
+                    slot["error"] = str(e)
+                    done.set()
+
+    def stop(self):
+        self._stop.set()
+
+
+def make_handler(detector, class_names, stats: _Stats,
+                 batcher: Optional[MicroBatcher] = None):
     import cv2
 
     class Handler(BaseHTTPRequestHandler):
@@ -88,7 +156,10 @@ def make_handler(detector, class_names, stats: _Stats):
                 # executable serves any client resolution (detect_batch
                 # would compile ~60s per novel source shape, stalling the
                 # single-threaded server)
-                (det,) = detector.detect_mixed([frame])
+                if batcher is not None:
+                    det = batcher.detect(frame)
+                else:
+                    (det,) = detector.detect_mixed([frame])
                 out = [{
                     "bbox_tlbr": [round(float(v), 2) for v in box],
                     "score": round(float(s), 4),
@@ -114,19 +185,37 @@ def make_handler(detector, class_names, stats: _Stats):
 
 def serve(detector, class_names=None, host: str = "127.0.0.1",
           port: int = 8500, warmup_hw: Optional[tuple] = (720, 1280),
-          server_cls=HTTPServer):
-    """Start the blocking HTTP serving loop (returns the server if
-    ``server_cls`` overrides serve_forever, e.g. in tests)."""
+          server_cls=None, batch_window_s: float = 0.0, max_batch: int = 16):
+    """Build the HTTP server (call ``.serve_forever()`` to run).
+
+    ``batch_window_s > 0`` enables the threaded server + micro-batcher:
+    concurrent requests coalesce into one device batch per window."""
     from . import native
 
     stats = _Stats()
-    if warmup_hw:
-        # warm the host-letterboxed pipeline (what /detect uses when the C++
-        # loader is available — one executable for every client resolution)
-        detector.warmup(1, tuple(warmup_hw),
-                        host_preprocessed=native.available())
+    batcher = None
+    if batch_window_s > 0:
+        batcher = MicroBatcher(detector, window_s=batch_window_s,
+                               max_batch=max_batch)
+        if server_cls is None:
+            server_cls = ThreadingHTTPServer
+        # warm the batch shapes the batcher will hit (1 and max_batch)
+        if warmup_hw:
+            detector.warmup(1, tuple(warmup_hw),
+                            host_preprocessed=native.available())
+            detector.warmup(max_batch, tuple(warmup_hw),
+                            host_preprocessed=native.available())
+    else:
+        if server_cls is None:
+            server_cls = HTTPServer
+        if warmup_hw:
+            # warm the host-letterboxed pipeline (what /detect uses when the
+            # C++ loader is available — one executable per client resolution)
+            detector.warmup(1, tuple(warmup_hw),
+                            host_preprocessed=native.available())
     server = server_cls((host, port), make_handler(detector, class_names,
-                                                   stats))
+                                                   stats, batcher))
+    server.batcher = batcher  # for shutdown in tests/embedding
     return server
 
 
@@ -147,6 +236,11 @@ def main(argv=None):
     ap.add_argument("--warmup-hw", default="720x1280",
                     help="source resolution to pre-compile for (HxW), or "
                          "'none'")
+    ap.add_argument("--batch-window", type=float, default=0.0, metavar="MS",
+                    help="micro-batching window in ms (0 = single-threaded); "
+                         "concurrent requests coalesce into device batches")
+    ap.add_argument("--max-batch", type=int, default=16,
+                    help="micro-batch size cap (with --batch-window)")
     args = ap.parse_args(argv)
 
     from pathlib import Path
@@ -166,8 +260,12 @@ def main(argv=None):
     warmup = (None if args.warmup_hw == "none"
               else tuple(int(v) for v in args.warmup_hw.split("x")))
 
-    server = serve(detector, names, args.host, args.port, warmup)
-    print(f"serving on http://{args.host}:{args.port} "
+    server = serve(detector, names, args.host, args.port, warmup,
+                   batch_window_s=args.batch_window / 1e3,
+                   max_batch=args.max_batch)
+    mode = (f"micro-batched ({args.batch_window}ms/{args.max_batch})"
+            if args.batch_window > 0 else "single-threaded")
+    print(f"serving on http://{args.host}:{args.port} [{mode}] "
           f"(POST /detect, GET /healthz, GET /stats)")
     server.serve_forever()
 
