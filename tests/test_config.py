@@ -116,6 +116,22 @@ def test_spp_four_way_route(cfg_paths):
     assert all(g.nodes[i].downsample == 32 for i in n.inputs)
 
 
+def test_parser_fuzz_never_crashes():
+    """Arbitrary garbage must raise ValueError (or parse), never crash."""
+    import random
+
+    rnd = random.Random(0)
+    corpus = ["[net]", "width=416", "layers=-1,61", "###", "= =", "[", "]",
+              "[yolo]", "anchors=1,2", "\x00\x01", "a" * 200, "=5", "k="]
+    for _ in range(200):
+        text = "\n".join(rnd.choice(corpus)
+                         for _ in range(rnd.randrange(0, 12)))
+        try:
+            parse_config_text(text)
+        except ValueError:
+            pass  # expected for malformed inputs
+
+
 def test_lower_rejects_bad_graphs():
     with pytest.raises(ValueError, match="channel mismatch"):
         lower(parse_config_text(
