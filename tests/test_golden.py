@@ -42,6 +42,9 @@ def test_golden_detections(cfg_paths):
     assert len(scores) == len(golden["scores"]), (
         f"{len(scores)} survivors vs golden {len(golden['scores'])}")
     np.testing.assert_array_equal(classes, np.asarray(golden["classes"]))
+    # fixture's threshold sits in the largest score gap (margin recorded in
+    # the json); tolerance stays ~3x below it so drift within tolerance
+    # cannot flip the survivor count
     np.testing.assert_allclose(scores, np.asarray(golden["scores"]),
-                               atol=1e-4)
+                               atol=5e-5)
     np.testing.assert_allclose(boxes, np.asarray(golden["boxes"]), atol=0.1)

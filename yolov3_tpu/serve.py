@@ -35,11 +35,23 @@ import numpy as np
 
 
 class _Stats:
+    """Thread-safe counters (handlers run concurrently in threaded mode)."""
+
     def __init__(self):
+        self._lock = threading.Lock()
         self.requests = 0
         self.errors = 0
         self.total_latency = 0.0
         self.started = time.time()
+
+    def record(self, latency: float):
+        with self._lock:
+            self.requests += 1
+            self.total_latency += latency
+
+    def record_error(self):
+        with self._lock:
+            self.errors += 1
 
 
 class MicroBatcher:
@@ -51,20 +63,30 @@ class MicroBatcher:
     Event (with timeout) and read their slot.
     """
 
+    class Overloaded(RuntimeError):
+        """Queue full — reject fast (HTTP 503) instead of queueing forever."""
+
     def __init__(self, detector, window_s: float = 0.005,
                  max_batch: int = 16):
         self.detector = detector
         self.window_s = float(window_s)
         self.max_batch = int(max_batch)
-        self._q: "queue_mod.Queue" = queue_mod.Queue()
+        # bounded queue = backpressure: overload rejects immediately rather
+        # than growing queue depth/threads/decoded-frame memory without limit
+        self._q: "queue_mod.Queue" = queue_mod.Queue(maxsize=4 * max_batch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def detect(self, frame, timeout: float = 120.0):
+        if self._stop.is_set():
+            raise RuntimeError("batcher stopped")
         done = threading.Event()
         slot: dict = {}
-        self._q.put((frame, done, slot))
+        try:
+            self._q.put_nowait((frame, done, slot))
+        except queue_mod.Full:
+            raise MicroBatcher.Overloaded("serving queue full") from None
         if not done.wait(timeout):
             raise TimeoutError("detection timed out")
         if "error" in slot:
@@ -72,14 +94,16 @@ class MicroBatcher:
         return slot["result"]
 
     def _run(self):
-        while not self._stop.is_set():
+        while True:
             try:
                 first = self._q.get(timeout=0.1)
             except queue_mod.Empty:
+                if self._stop.is_set():
+                    return
                 continue
             batch = [first]
             deadline = time.perf_counter() + self.window_s
-            while len(batch) < self.max_batch:
+            while len(batch) < self.max_batch and not self._stop.is_set():
                 remaining = deadline - time.perf_counter()
                 if remaining <= 0:
                     break
@@ -88,8 +112,14 @@ class MicroBatcher:
                 except queue_mod.Empty:
                     break
             frames = [item[0] for item in batch]
+            # pad to the single warmed batch shape: _pipeline caches one
+            # executable per batch size, so un-padded intermediate sizes
+            # would each trigger a fresh ~60s TPU compile mid-serving
+            pad = self.max_batch - len(frames)
+            if pad:
+                frames = frames + [frames[-1]] * pad
             try:
-                results = self.detector.detect_mixed(frames)
+                results = self.detector.detect_mixed(frames)[:len(batch)]
                 for (_, done, slot), res in zip(batch, results):
                     slot["result"] = res
                     done.set()
@@ -99,7 +129,17 @@ class MicroBatcher:
                     done.set()
 
     def stop(self):
+        """Stop the worker; fail anything still queued instead of leaving
+        callers blocked until their timeout."""
         self._stop.set()
+        self._thread.join(timeout=5.0)
+        while True:
+            try:
+                _, done, slot = self._q.get_nowait()
+            except queue_mod.Empty:
+                break
+            slot["error"] = "batcher stopped"
+            done.set()
 
 
 def make_handler(detector, class_names, stats: _Stats,
@@ -148,7 +188,7 @@ def make_handler(detector, class_names, stats: _Stats,
                 if frame is None:
                     raise ValueError("could not decode image")
             except Exception as e:  # noqa: BLE001 - request validation
-                stats.errors += 1
+                stats.record_error()
                 self._json(400, {"error": str(e)})
                 return
             try:
@@ -170,13 +210,15 @@ def make_handler(detector, class_names, stats: _Stats,
                 } for box, s, c in zip(det.bbox_tlbr, det.class_prob,
                                        det.class_idx)]
                 dt = time.perf_counter() - t0
-                stats.requests += 1
-                stats.total_latency += dt
+                stats.record(dt)
                 self._json(200, {"detections": out,
                                  "latency_ms": round(dt * 1e3, 2),
                                  "image_hw": list(frame.shape[:2])})
+            except MicroBatcher.Overloaded as e:
+                stats.record_error()
+                self._json(503, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 - serving boundary
-                stats.errors += 1
+                stats.record_error()
                 # inference failures are server faults, not client errors
                 self._json(500, {"error": str(e)})
 
@@ -201,8 +243,8 @@ def serve(detector, class_names=None, host: str = "127.0.0.1",
             server_cls = ThreadingHTTPServer
         # warm the batch shapes the batcher will hit (1 and max_batch)
         if warmup_hw:
-            detector.warmup(1, tuple(warmup_hw),
-                            host_preprocessed=native.available())
+            # the batcher pads every batch to max_batch, so exactly one
+            # executable shape needs warming
             detector.warmup(max_batch, tuple(warmup_hw),
                             host_preprocessed=native.available())
     else:
