@@ -1,0 +1,80 @@
+"""Direct tests for the small host utilities (profiling, class names,
+set_params, pallas decode_all wrapper)."""
+import time
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def test_stage_timers():
+    from yolov3_tpu.utils.profiling import StageTimers
+
+    t = StageTimers()
+    with t.stage("a"):
+        time.sleep(0.01)
+    with t.stage("a"):
+        time.sleep(0.01)
+    with t.stage("b"):
+        pass
+    s = t.summary()
+    assert s["a"] >= 0.009 and s["b"] < 0.01
+    assert t.counts["a"] == 2
+    assert "a:" in t.report() and "ms" in t.report()
+
+
+def test_stage_timers_records_on_exception():
+    from yolov3_tpu.utils.profiling import StageTimers
+
+    t = StageTimers()
+    with pytest.raises(RuntimeError):
+        with t.stage("x"):
+            raise RuntimeError("boom")
+    assert t.counts["x"] == 1
+
+
+def test_fps_counter():
+    from yolov3_tpu.utils.profiling import FPSCounter
+
+    f = FPSCounter(window=5)
+    assert f.fps() == 0.0
+    for _ in range(5):
+        f.tick()
+        time.sleep(0.005)
+    assert 10 < f.fps() < 1000
+
+
+def test_load_class_names_skips_blanks(tmp_path):
+    from yolov3_tpu.utils.drawing import load_class_names
+
+    p = tmp_path / "n.names"
+    p.write_text("person\n\nbicycle\n  \ncar\n")
+    assert load_class_names(p) == ["person", "bicycle", "car"]
+
+
+def test_darknet_set_params(cfg_paths):
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.weights import fold_raw, random_raw
+    from yolov3_tpu.graph import load_graph
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    net = Darknet(cfg_paths["yolov3-tiny"])
+    with pytest.raises(RuntimeError, match="load_weights"):
+        net(jnp.zeros((1, 160, 160, 3)))
+    net.set_params(fold_raw(random_raw(g, seed=0)))
+    out = net(jnp.zeros((1, 160, 160, 3), jnp.float32))
+    assert out.shape == (1, 375, 85)
+
+
+def test_decode_all_pallas_matches_jnp(rng):
+    from yolov3_tpu.ops.decode import decode_all
+    from yolov3_tpu.ops.pallas_decode import decode_all_pallas
+
+    anchors = [((10.0, 13.0), (33.0, 23.0)), ((30.0, 61.0), (62.0, 45.0))]
+    feats = [jnp.asarray(rng.normal(0, 1, (1, 8, 8, 2 * 85)).astype(np.float32)),
+             jnp.asarray(rng.normal(0, 1, (1, 16, 16, 2 * 85)).astype(np.float32))]
+    ref = decode_all(feats, anchors, [32, 16], 80)
+    out = decode_all_pallas(feats, anchors, [32, 16], 80, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -504,12 +504,13 @@ def detect_in_video(detector: Detector, filepath, class_names=None,
     import cv2
 
     from .utils.drawing import draw_boxes
-    from .utils.profiling import FPSCounter
+    from .utils.profiling import FPSCounter, StageTimers
 
     cap = cv2.VideoCapture(str(filepath))
     if not cap.isOpened():
         raise FileNotFoundError(f"could not open video {filepath}")
     fps_in = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    timers = StageTimers()
 
     frame_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(4 * frame_batch, 8))
     stop = threading.Event()
@@ -587,12 +588,14 @@ def detect_in_video(detector: Detector, filepath, class_names=None,
                     break
                 frames.append(item)
             if frames:
-                batch = np.stack(frames)
-                b, h, w, _ = batch.shape
-                run = detector._pipeline(b, (h, w))
-                res = run(detector.net.params, jnp.asarray(batch))  # async
+                with timers.stage("dispatch"):
+                    batch = np.stack(frames)
+                    b, h, w, _ = batch.shape
+                    run = detector._pipeline(b, (h, w))
+                    res = run(detector.net.params, jnp.asarray(batch))  # async
                 if in_flight is not None:
-                    _drain(*in_flight)  # materialize i while i+1 computes
+                    with timers.stage("drain+draw+encode"):
+                        _drain(*in_flight)  # materialize i while i+1 computes
                 in_flight = (frames[:len(frames)], res)
         if in_flight is not None:
             _drain(*in_flight)
@@ -604,6 +607,8 @@ def detect_in_video(detector: Detector, filepath, class_names=None,
             shower.stop()
     if verbose:
         print(f"processed {n} frames at {fps.fps():.1f} FPS")
+        if timers.totals:
+            print(f"per-batch stages: {timers.report()}")
     return n
 
 
