@@ -154,6 +154,14 @@ def test_yolov3_spp_parity_416(cfg_paths):
     assert out.shape == (1, 10647, 85)
 
 
+@pytest.mark.slow
+def test_yolov3_full_parity_320(cfg_paths):
+    """Full model at the smallest published resolution (config #5 coverage)."""
+    g = load_graph(cfg_paths["yolov3"])
+    out = _compare(g, seed=4, size=320)
+    assert out.shape == (1, 6300, 85)
+
+
 def test_multi_resolution_same_params(cfg_paths):
     """Fully-convolutional: the same tiny params run at 320 and 608
     (SURVEY.md §5.7 — resolution is the scale axis)."""
