@@ -6,6 +6,7 @@ setup(
     version="0.1.0",
     description="TPU-native YOLOv3 inference framework (JAX/XLA/Pallas)",
     packages=find_packages(include=["yolov3_tpu", "yolov3_tpu.*"]),
+    package_data={"yolov3_tpu": ["py.typed"]},
     python_requires=">=3.10",
     install_requires=[
         "jax>=0.4.30",

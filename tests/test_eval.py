@@ -103,6 +103,39 @@ def test_run_model_on_coco_end_to_end(tmp_path, cfg_paths):
     assert 0.0 <= res["mAP50_95"] <= res["mAP50"] + 1e-9
 
 
+def test_eval_cli_main(tmp_path, cfg_paths, capsys, monkeypatch):
+    """tools/eval_coco.py CLI entry prints the mAP JSON line."""
+    import cv2
+
+    from tools import eval_coco
+    from yolov3_tpu.graph import load_graph
+    from yolov3_tpu.weights import random_raw, write_weights
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=13))
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "a.jpg"),
+                np.random.default_rng(0).integers(0, 256, (240, 320, 3),
+                                                  dtype=np.uint8))
+    ann = {"images": [{"id": 1, "file_name": "a.jpg", "height": 240,
+                       "width": 320}],
+           "annotations": [{"id": 1, "image_id": 1, "category_id": 1,
+                            "bbox": [10, 10, 50, 50], "iscrowd": 0}],
+           "categories": [{"id": 1, "name": "person"}]}
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps(ann))
+
+    monkeypatch.setattr("sys.argv", [
+        "eval_coco.py", "--images", str(img_dir),
+        "--annotations", str(ann_path), "--config", cfg_paths["yolov3-tiny"],
+        "--weights", str(wpath), "--prob-thresh", "0.3", "--batch-size", "2"])
+    eval_coco.main()
+    out = json.loads(capsys.readouterr().out.strip())
+    assert "mAP50" in out and "mAP50_95" in out
+
+
 def test_multi_class_macro_average():
     gt = {0: {0: np.array([[0, 0, 10, 10]], np.float32),
               1: np.array([[20, 20, 30, 30]], np.float32)}}
