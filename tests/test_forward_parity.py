@@ -134,6 +134,17 @@ def test_micro_graph_parity():
     assert out.shape == (2, 2 * (16 * 16 + 32 * 32), 6)
 
 
+def test_shortcut_activation_parity():
+    """darknet applies the shortcut's activation AFTER the add — cover the
+    non-linear case (always linear in yolov3, but the format allows it)."""
+    g = lower(parse_config_text(MICRO_CFG.replace(
+        "[shortcut]\nfrom=-3\nactivation=linear",
+        "[shortcut]\nfrom=-3\nactivation=leaky")))
+    assert any(n.kind == "shortcut" and n.activation == "leaky"
+               for n in g.nodes)
+    _compare(g, seed=5, size=64)
+
+
 def test_yolov3_tiny_parity_416(cfg_paths):
     g = load_graph(cfg_paths["yolov3-tiny"])
     out = _compare(g, seed=1, size=416)

@@ -96,6 +96,10 @@ class TorchDarknet(nn.Module):
                 out = F.interpolate(prev, scale_factor=node.stride, mode="nearest")
             elif node.kind == "shortcut":
                 out = prev + outputs[node.inputs[1]]
+                if node.activation == "leaky":  # darknet: activation post-add
+                    out = F.leaky_relu(out, 0.1)
+                elif node.activation == "relu":
+                    out = F.relu(out)
             elif node.kind == "route":
                 srcs = [prev if i == node.index - 1 else outputs[i]
                         for i in node.inputs]

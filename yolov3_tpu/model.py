@@ -117,6 +117,10 @@ def forward_features(
             out = _upsample_nearest(prev, node.stride)
         elif node.kind == "shortcut":
             out = prev + cache[node.inputs[1]]
+            if node.activation == "leaky":  # darknet applies it post-add
+                out = jnp.where(out > 0, out, 0.1 * out)
+            elif node.activation == "relu":
+                out = jnp.maximum(out, 0)
         elif node.kind == "route":
             srcs = [prev if i == node.index - 1 else cache[i] for i in node.inputs]
             out = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)

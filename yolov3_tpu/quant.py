@@ -173,7 +173,7 @@ def forward_features_int8(graph: Graph, qparams, scales: Dict[int, float],
         elif node.kind == "upsample":
             out = _upsample_nearest(prev, node.stride)
         elif node.kind == "shortcut":
-            out = prev + cache[node.inputs[1]]
+            out = _activate(prev + cache[node.inputs[1]], node.activation)
         elif node.kind == "route":
             srcs = [prev if i == node.index - 1 else cache[i]
                     for i in node.inputs]
@@ -229,7 +229,8 @@ def calibrate(graph: Graph, params, batches, precision: Optional[str] = "bf16"
             elif node.kind == "upsample":
                 out = _upsample_nearest(prev, node.stride)
             elif node.kind == "shortcut":
-                out = prev + cache[node.inputs[1]]
+                out = _activate(prev + cache[node.inputs[1]],
+                                node.activation)
             elif node.kind == "route":
                 srcs = [prev if i == node.index - 1 else cache[i]
                         for i in node.inputs]
