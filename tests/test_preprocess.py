@@ -39,6 +39,28 @@ def test_letterbox_geometry_portrait():
     assert np.allclose(out[:, :, :pad_left], 0.5)
 
 
+def test_half_pixel_rounding_device_and_host():
+    """Regression (ADVICE.md round 1): 832x501→416 hits an exact .5 resize
+    (250.5 rows). Device preprocess, cv2 host fallback, and
+    letterbox_geometry must all place content on the same rows — a
+    banker's-round in one of them shifts geometry by 1px and breaks
+    unletterbox_tlbr's exact-inverse contract."""
+    from yolov3_tpu.utils.boxes import letterbox_geometry
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (1, 501, 832, 3), dtype=np.uint8)
+    # content sized by round-half-up: floor(250.5+0.5)=251 rows, not 250
+    _, pad_top, pad_left, new_h, new_w = letterbox_geometry((501, 832),
+                                                            (416, 416))
+    assert (new_h, new_w) == (251, 416)
+    for out in (np.asarray(preprocess(jnp.asarray(img), (416, 416))),
+                preprocess_host(img, (416, 416))):
+        assert np.allclose(out[0, :pad_top], 0.5)
+        assert np.allclose(out[0, pad_top + new_h:], 0.5)
+        assert not np.allclose(out[0, pad_top], 0.5)
+        assert not np.allclose(out[0, pad_top + new_h - 1], 0.5)
+
+
 def test_square_input_no_padding():
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, (1, 832, 832, 3), dtype=np.uint8)

@@ -34,15 +34,25 @@ def test_stage_timers_records_on_exception():
     assert t.counts["x"] == 1
 
 
-def test_fps_counter():
-    from yolov3_tpu.utils.profiling import FPSCounter
+def test_fps_counter(monkeypatch):
+    """Deterministic fake clock — a real sleep made this flaky under load
+    (VERDICT.md round 1, weak #1)."""
+    from yolov3_tpu.utils import profiling
 
-    f = FPSCounter(window=5)
+    now = [0.0]
+    monkeypatch.setattr(profiling.time, "perf_counter", lambda: now[0])
+    f = profiling.FPSCounter(window=5)
     assert f.fps() == 0.0
     for _ in range(5):
         f.tick()
-        time.sleep(0.005)
-    assert 10 < f.fps() < 1000
+        now[0] += 0.01
+    # ticks at 0,10,20,30,40 ms -> 4 intervals / 40 ms = 100 fps
+    assert f.fps() == pytest.approx(100.0)
+    # window rolls: a slower 6th tick drops the first, fps reflects the
+    # remaining 4 intervals (10+10+10+30 ms span)
+    now[0] += 0.02  # 30 ms since the 5th tick
+    f.tick()
+    assert f.fps() == pytest.approx(4 / 0.06)
 
 
 def test_load_class_names_skips_blanks(tmp_path):

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..utils.boxes import letterbox_params
+from ..utils.boxes import letterbox_geometry
 
 
 def _interp_matrix(src: int, dst: int) -> np.ndarray:
@@ -86,8 +86,7 @@ def preprocess(frames: jax.Array, net_hw: Tuple[int, int],
     if mode != "letterbox":
         raise ValueError(f"unknown preprocess mode {mode!r}")
 
-    scale, pad_top, pad_left = letterbox_params((h, w), (nh, nw))
-    new_h, new_w = int(round(h * scale)), int(round(w * scale))
+    _, pad_top, pad_left, new_h, new_w = letterbox_geometry((h, w), (nh, nw))
     resized = resize_bilinear(x, (new_h, new_w))
     return jnp.pad(
         resized,
@@ -116,8 +115,7 @@ def preprocess_host(frames, net_hw: Tuple[int, int], mode: str = "letterbox",
             out[i] = cv2.resize(frames[i], (nw, nh),
                                 interpolation=cv2.INTER_LINEAR) / 255.0
         return out
-    scale, pad_top, pad_left = letterbox_params((h, w), (nh, nw))
-    new_h, new_w = int(round(h * scale)), int(round(w * scale))
+    _, pad_top, pad_left, new_h, new_w = letterbox_geometry((h, w), (nh, nw))
     for i in range(b):
         r = cv2.resize(frames[i], (new_w, new_h),
                        interpolation=cv2.INTER_LINEAR).astype(np.float32) / 255.0

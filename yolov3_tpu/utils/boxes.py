@@ -24,24 +24,32 @@ def tlbr_to_cxywh(boxes: np.ndarray) -> np.ndarray:
     return np.concatenate([boxes[..., 0:2] + wh * 0.5, wh], axis=-1)
 
 
-def letterbox_params(src_hw: Tuple[int, int], net_hw: Tuple[int, int]
-                     ) -> Tuple[float, int, int]:
-    """Scale + top/left pad used by the letterbox transform.
+def letterbox_geometry(src_hw: Tuple[int, int], net_hw: Tuple[int, int]
+                       ) -> Tuple[float, int, int, int, int]:
+    """Full letterbox geometry: (scale, pad_top, pad_left, new_h, new_w).
 
     scale = min(net/src) per axis (aspect preserved); the resized image is
-    centered, remainder split evenly (low side gets the floor).
+    centered, remainder split evenly (low side gets the floor). The resize
+    target (new_h, new_w) is part of the contract: every consumer — device
+    preprocess, host cv2 fallback, the C++ loader, and unletterbox — must
+    place content with this exact geometry or boxes shift by 1px on
+    half-pixel resolutions (e.g. 832x501 → 416 gives 250.5).
     """
     sh, sw = src_hw
     nh, nw = net_hw
     scale = min(nh / sh, nw / sw)
-    # round-half-up, NOT python's banker's round(): the C++ loader and the
-    # device path must place content identically or unmapping shifts boxes
-    # by 1px on half-pixel resolutions (e.g. 832x501 -> 416)
+    # round-half-up, NOT python's banker's round() (see docstring)
     new_h = int(np.floor(sh * scale + 0.5))
     new_w = int(np.floor(sw * scale + 0.5))
     pad_top = (nh - new_h) // 2
     pad_left = (nw - new_w) // 2
-    return scale, pad_top, pad_left
+    return scale, pad_top, pad_left, new_h, new_w
+
+
+def letterbox_params(src_hw: Tuple[int, int], net_hw: Tuple[int, int]
+                     ) -> Tuple[float, int, int]:
+    """(scale, pad_top, pad_left) — see :func:`letterbox_geometry`."""
+    return letterbox_geometry(src_hw, net_hw)[:3]
 
 
 def unletterbox_tlbr(boxes: np.ndarray, src_hw: Tuple[int, int],

@@ -177,13 +177,21 @@ def load_weights_cached(path: Union[str, Path], graph: Graph,
                         cache_dir: Union[str, Path, None] = None) -> Params:
     """``load_weights`` with an on-disk cache of the folded/transposed params
     (SURVEY.md §5.4): skips the OIHW parse + BN fold on repeat loads. The
-    cache key fingerprints the weight file (size + mtime) and the graph, so a
-    replaced ``.weights`` file invalidates it automatically.
+    cache key fingerprints the weight file (size + ns-resolution mtime + a
+    hash of the 20-byte header) and the graph's architecture (param count),
+    so a replaced ``.weights`` file or a cfg change that keeps the same stem
+    invalidates it reliably (ADVICE.md round 1).
     """
+    import hashlib
+
     path = Path(path)
     cache_dir = Path(cache_dir) if cache_dir else path.parent / ".param_cache"
     st = path.stat()
-    key = f"{path.stem}-{graph.name}-{st.st_size}-{int(st.st_mtime)}"
+    with open(path, "rb") as f:
+        header = f.read(20)
+    fp = hashlib.sha256(header).hexdigest()[:12]
+    key = (f"{path.stem}-{graph.name}-{param_count(graph)}-{st.st_size}-"
+           f"{st.st_mtime_ns}-{fp}")
     cache_file = cache_dir / f"{key}.npz"
     if cache_file.exists():
         with np.load(cache_file) as z:
