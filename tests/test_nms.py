@@ -173,3 +173,49 @@ def test_batched_independence():
                           iou_thresh=0.4)
     single_a = batched_nms(jnp.asarray(a[None]), prob_thresh=0.2, iou_thresh=0.4)
     assert _result_set(batched, 0) == _result_set(single_a, 0)
+
+
+def test_over_top_k_truncates_to_exact_top_k_by_score():
+    """>K regime (VERDICT.md round-1 #5, eval_coco's prob_thresh=0.005):
+    when more candidates pass the threshold than top_k, exactly the K
+    highest-scoring candidates enter suppression; with non-overlapping
+    boxes (no suppression) the survivor set IS the top-K by score."""
+    from yolov3_tpu.ops.nms import batched_nms_compact
+
+    n, k = 2000, 512
+    rng = np.random.default_rng(31)
+    # non-overlapping 4x4 boxes on a grid: no pair can be suppressed
+    gx, gy = np.meshgrid(np.arange(50), np.arange(40))
+    x0 = (gx.ravel()[:n] * 8).astype(np.float32)
+    y0 = (gy.ravel()[:n] * 8).astype(np.float32)
+    boxes = np.stack([x0, y0, x0 + 4, y0 + 4], axis=1)
+    scores = rng.permutation(np.linspace(0.01, 0.99, n)).astype(np.float32)
+    classes = rng.integers(0, 80, n).astype(np.int32)
+    assert (scores >= 0.005).sum() > k  # genuinely >K candidates
+
+    res = batched_nms_compact(jnp.asarray(boxes[None]),
+                              jnp.asarray(scores[None]),
+                              jnp.asarray(classes[None]),
+                              prob_thresh=0.005, iou_thresh=0.3, top_k=k)
+    got = np.sort(np.asarray(res.scores[0])[np.asarray(res.valid[0])])
+    want = np.sort(scores)[-k:]
+    assert len(got) == k
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_over_top_k_full_path_matches_reference_on_top_k_subset():
+    """Full batched_nms in the >K regime: suppression semantics on the
+    truncated set must equal the numpy reference run on that same subset."""
+    rng = np.random.default_rng(37)
+    n, k = 1200, 256
+    det = random_detections(rng, n=n, classes=4)
+    det[:, 4] = rng.uniform(0.5, 1.0, n)  # everything passes the threshold
+
+    res = batched_nms(jnp.asarray(det[None]), prob_thresh=0.01,
+                      iou_thresh=0.4, top_k=k)
+
+    # build the reference's input restricted to the top-k candidates
+    score = det[:, 4] * det[:, 5:].max(axis=1)
+    top = np.argsort(-score, kind="stable")[:k]
+    want = numpy_reference_nms(det[top], 0.01, 0.4)
+    assert _result_set(res, 0) == want

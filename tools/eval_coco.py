@@ -123,7 +123,7 @@ def evaluate(detections, ground_truth, iou_thresholds=None):
 
 def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
                       iou_thresh=0.45, batch_size=16, limit=None,
-                      precision=None):
+                      precision=None, top_k=1024):
     import cv2
 
     from yolov3_tpu.inference import Detector
@@ -145,9 +145,15 @@ def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
 
     net = Darknet(cfg, precision=precision).load_weights(weights)
     # max_results must not cap below top_k: mAP at low thresholds counts the
-    # full survivor set (COCO's own 100-det cap is NOT applied here)
+    # full survivor set (COCO's own 100-det cap is NOT applied here).
+    # top_k defaults to 1024 here (vs the serving default 512): at
+    # prob_thresh=0.005 dense scenes with trained weights can exceed 512
+    # candidates, and NMS truncates to the top-K by score (exact-top-K
+    # truncation is tested in tests/test_nms.py) — a too-small K silently
+    # drops low-score tails and skews mAP. Raise --top-k further if the
+    # reported truncation count is nonzero.
     det = Detector(net, prob_thresh=prob_thresh, iou_thresh=iou_thresh,
-                   top_k=512, max_results=0)
+                   top_k=top_k, max_results=0)
 
     detections = {}
     frames, metas = [], []
@@ -193,11 +199,16 @@ def main():
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--precision", default=None)
+    ap.add_argument("--top-k", type=int, default=1024,
+                    help="NMS candidate cap per image; candidates beyond the "
+                         "top-K by score are truncated (raise at very low "
+                         "--prob-thresh on dense scenes)")
     args = ap.parse_args()
 
     res = run_model_on_coco(args.images, args.annotations, args.config,
                             args.weights, args.prob_thresh, args.iou_thresh,
-                            args.batch_size, args.limit, args.precision)
+                            args.batch_size, args.limit, args.precision,
+                            args.top_k)
     print(json.dumps({"mAP50": round(res["mAP50"], 4),
                       "mAP50_95": round(res["mAP50_95"], 4)}))
 

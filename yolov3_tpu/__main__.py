@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device batch for --image-dir / video batching")
     p.add_argument("--frame-batch", type=int, default=1,
                    help="frames per device step for --video")
+    p.add_argument("--pipeline-depth", type=int, default=0,
+                   help="frames kept in flight on the device for --cam "
+                        "(overlaps dispatch with draw/show; display lags by "
+                        "this many frames; 0 = synchronous)")
     p.add_argument("--net-size", type=int, default=None,
                    help="override net input resolution (e.g. 320/416/608)")
     p.add_argument("--resize-mode", choices=("letterbox", "stretch"),
@@ -182,7 +186,8 @@ def main(argv=None) -> int:
         cam = int(args.cam) if str(args.cam).isdigit() else args.cam
         detect_in_cam(detector, cam, class_names=class_names,
                       show_fps=args.show_fps, output_path=args.output,
-                      show=not args.no_show)
+                      show=not args.no_show,
+                      pipeline_depth=args.pipeline_depth)
     return 0
 
 

@@ -135,9 +135,14 @@ def batched_nms(detections: jax.Array, prob_thresh: float = 0.05,
     """Class-aware NMS over a batch of decoded detections (B, N, 5+C).
 
     ``prob_thresh``/``iou_thresh`` default to the reference CLI defaults
-    (SURVEY.md §2.11). K caps survivors per image (static shape); candidates
-    beyond the top-K score threshold are dropped — K=512 is far above any
-    real image's post-threshold census at the reference's defaults.
+    (SURVEY.md §2.11). K caps the NMS working set per image (static shape).
+    **>K truncation contract:** when more than ``top_k`` candidates pass the
+    threshold, exactly the K highest-scoring candidates enter suppression
+    and the rest are dropped (tested in tests/test_nms.py::test_over_top_k_*).
+    K=512 is far above any real image's census at the reference's serving
+    defaults (0.05); evaluation at very low thresholds (eval_coco's 0.005)
+    should raise K — ``tools/eval_coco.py`` defaults to 1024 and exposes
+    ``--top-k``.
     """
     boxes, scores, classes, valid = jax.vmap(
         lambda d: _candidates(d, prob_thresh, top_k))(detections)
