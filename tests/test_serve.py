@@ -1,6 +1,7 @@
 """HTTP serving endpoint tests: detect round-trip, health/stats, error paths."""
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -121,3 +122,76 @@ def test_microbatched_concurrent_requests(batched_server):
 def test_microbatched_bad_payload(batched_server):
     status, body = _post(batched_server + "/detect", b"garbage")
     assert status == 400
+
+def test_graceful_drain_mid_batch(tmp_path_factory, cfg_paths):
+    """SIGTERM lands while requests sit mid-batch in the micro-batcher's
+    window: every accepted request is answered 200, then the socket closes
+    (VERDICT.md round-1 #7; SURVEY.md §5.3 posture)."""
+    import signal
+    import socket
+    import cv2
+    from concurrent.futures import ThreadPoolExecutor
+
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.serve import install_graceful_shutdown, serve
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    wpath = tmp_path_factory.mktemp("w3") / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=33))
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(wpath)
+    det = Detector(net, prob_thresh=0.3, net_hw=(160, 160))
+    # long window (300 ms) + big max_batch: the batch is guaranteed to be
+    # still OPEN (mid-batch) when the signal fires
+    srv = serve(det, host="127.0.0.1", port=0, warmup_hw=(240, 320),
+                batch_window_s=0.3, max_batch=8)
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    old_term = signal.getsignal(signal.SIGTERM)
+    old_int = signal.getsignal(signal.SIGINT)
+    try:
+        drained = install_graceful_shutdown(srv)
+
+        rng = np.random.default_rng(2)
+        ok, buf = cv2.imencode(
+            ".jpg", rng.integers(0, 256, (240, 320, 3), dtype=np.uint8))
+        assert ok
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [pool.submit(_post, url + "/detect", buf.tobytes())
+                    for _ in range(4)]
+            time.sleep(0.1)  # requests accepted, batch window still open
+            signal.raise_signal(signal.SIGTERM)
+            results = [f.result(timeout=60) for f in futs]
+
+        assert all(status == 200 for status, _ in results)
+        assert all("detections" in body for _, body in results)
+        assert drained.wait(timeout=30)
+        thread.join(timeout=10)
+        assert not thread.is_alive()
+        # socket released: a new connection must fail
+        with pytest.raises(OSError):
+            socket.create_connection(
+                ("127.0.0.1", srv.server_address[1]), timeout=2)
+    finally:
+        signal.signal(signal.SIGTERM, old_term)
+        signal.signal(signal.SIGINT, old_int)
+
+
+def test_multi_shape_warmup(tmp_path_factory, cfg_paths):
+    """serve(warmup_hw=[...]) pre-compiles one pipeline per source shape."""
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.serve import serve
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    wpath = tmp_path_factory.mktemp("w4") / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=34))
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(wpath)
+    det = Detector(net, prob_thresh=0.3, net_hw=(160, 160))
+    srv = serve(det, host="127.0.0.1", port=0,
+                warmup_hw=[(240, 320), (120, 160)])
+    n = len(det._pipelines)
+    assert n >= 1  # host-preprocessed warmups share the net-shape pipeline
+    srv.server_close()

@@ -26,12 +26,24 @@ from __future__ import annotations
 
 import json
 import queue as queue_mod
+import signal
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
+
+
+class GracefulThreadingHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer whose ``server_close`` JOINS in-flight handler
+    threads (``daemon_threads=False`` + ``block_on_close``) instead of
+    abandoning them — the property graceful drain needs: after
+    ``shutdown()`` stops the accept loop, ``server_close()`` returns only
+    once every accepted request has been answered."""
+
+    daemon_threads = False
+    block_on_close = True
 
 
 class _Stats:
@@ -141,6 +153,20 @@ class MicroBatcher:
             slot["error"] = "batcher stopped"
             done.set()
 
+    def drain(self, timeout: float = 60.0):
+        """Graceful drain: keep the worker running until every already-
+        enqueued request is answered, then stop. Unlike :meth:`stop`, no
+        accepted request is failed (unless the timeout expires). New
+        ``detect()`` calls during/after the drain fail fast."""
+        deadline = time.monotonic() + timeout
+        while not self._q.empty() and time.monotonic() < deadline:
+            time.sleep(0.005)
+        # queue empty -> the worker is at most one batch from idle; stop()
+        # lets it finish that batch (the worker only exits between batches)
+        self._stop.set()
+        self._thread.join(timeout=max(0.0, deadline - time.monotonic()) + 5.0)
+        self.stop()  # idempotent: fails stragglers only on timeout
+
 
 def make_handler(detector, class_names, stats: _Stats,
                  batcher: Optional[MicroBatcher] = None):
@@ -231,34 +257,73 @@ def serve(detector, class_names=None, host: str = "127.0.0.1",
     """Build the HTTP server (call ``.serve_forever()`` to run).
 
     ``batch_window_s > 0`` enables the threaded server + micro-batcher:
-    concurrent requests coalesce into one device batch per window."""
+    concurrent requests coalesce into one device batch per window.
+    ``warmup_hw`` pre-compiles for one source resolution ``(H, W)`` or a
+    list of them (multi-tenant serving with several known camera shapes)."""
     from . import native
 
     stats = _Stats()
     batcher = None
+    # normalize warmup to a list of (H, W)
+    warmups = []
+    if warmup_hw:
+        warmups = ([tuple(warmup_hw)] if isinstance(warmup_hw[0], int)
+                   else [tuple(hw) for hw in warmup_hw])
     if batch_window_s > 0:
         batcher = MicroBatcher(detector, window_s=batch_window_s,
                                max_batch=max_batch)
         if server_cls is None:
-            server_cls = ThreadingHTTPServer
-        # warm the batch shapes the batcher will hit (1 and max_batch)
-        if warmup_hw:
-            # the batcher pads every batch to max_batch, so exactly one
-            # executable shape needs warming
-            detector.warmup(max_batch, tuple(warmup_hw),
+            server_cls = GracefulThreadingHTTPServer
+        # the batcher pads every batch to max_batch, so exactly one
+        # executable per warmed source shape is needed
+        for hw in warmups:
+            detector.warmup(max_batch, hw,
                             host_preprocessed=native.available())
     else:
         if server_cls is None:
             server_cls = HTTPServer
-        if warmup_hw:
+        for hw in warmups:
             # warm the host-letterboxed pipeline (what /detect uses when the
             # C++ loader is available — one executable per client resolution)
-            detector.warmup(1, tuple(warmup_hw),
-                            host_preprocessed=native.available())
+            detector.warmup(1, hw, host_preprocessed=native.available())
     server = server_cls((host, port), make_handler(detector, class_names,
                                                    stats, batcher))
     server.batcher = batcher  # for shutdown in tests/embedding
     return server
+
+
+def shutdown_gracefully(server):
+    """Drain the server: stop accepting, answer every accepted request,
+    flush the micro-batcher, release the socket (SURVEY.md §5.3 posture).
+
+    Safe from any thread except the one running ``serve_forever``. Order
+    matters: ``shutdown()`` stops the accept loop; ``server_close()`` joins
+    in-flight handler threads (GracefulThreadingHTTPServer) — they finish
+    because the batcher worker is still alive; only then is the batcher
+    stopped (its queue is empty once all handlers returned)."""
+    server.shutdown()
+    server.server_close()
+    if getattr(server, "batcher", None) is not None:
+        server.batcher.drain()
+
+
+def install_graceful_shutdown(server, signals=(signal.SIGTERM, signal.SIGINT)):
+    """SIGTERM/SIGINT → graceful drain in a background thread (the handler
+    itself must not block, and ``shutdown()`` deadlocks if called from the
+    ``serve_forever`` thread). Returns an Event set when the drain is done."""
+    drained = threading.Event()
+
+    def _drain():
+        shutdown_gracefully(server)
+        drained.set()
+
+    def _handler(signum, frame):
+        threading.Thread(target=_drain, daemon=True,
+                         name="yolov3-serve-drain").start()
+
+    for s in signals:
+        signal.signal(s, _handler)
+    return drained
 
 
 def main(argv=None):
@@ -276,7 +341,8 @@ def main(argv=None):
                     default="bf16")
     ap.add_argument("--net-size", type=int, default=None)
     ap.add_argument("--warmup-hw", default="720x1280",
-                    help="source resolution to pre-compile for (HxW), or "
+                    help="source resolution(s) to pre-compile for: HxW or a "
+                         "comma-separated list (e.g. 720x1280,1080x1920), or "
                          "'none'")
     ap.add_argument("--batch-window", type=float, default=0.0, metavar="MS",
                     help="micro-batching window in ms (0 = single-threaded); "
@@ -300,16 +366,25 @@ def main(argv=None):
     names = (load_class_names(args.class_names)
              if Path(args.class_names).exists() else None)
     warmup = (None if args.warmup_hw == "none"
-              else tuple(int(v) for v in args.warmup_hw.split("x")))
+              else [tuple(int(v) for v in hw.split("x"))
+                    for hw in args.warmup_hw.split(",")])
 
     server = serve(detector, names, args.host, args.port, warmup,
                    batch_window_s=args.batch_window / 1e3,
                    max_batch=args.max_batch)
+    drained = install_graceful_shutdown(server)
     mode = (f"micro-batched ({args.batch_window}ms/{args.max_batch})"
             if args.batch_window > 0 else "single-threaded")
     print(f"serving on http://{args.host}:{args.port} [{mode}] "
           f"(POST /detect, GET /healthz, GET /stats)")
-    server.serve_forever()
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        # ^C in a terminal raises here as well; drain the same way
+        shutdown_gracefully(server)
+        drained.set()
+    drained.wait(timeout=120)
+    print("drained: all accepted requests answered")
 
 
 if __name__ == "__main__":
