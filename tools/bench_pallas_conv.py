@@ -45,6 +45,44 @@ def timeit(fn, args, iters=8):
     return (time.perf_counter() - t0) / iters
 
 
+def timeit_scanned(fn, x, w, bias, reps=3, lens=(8, 40)):
+    """Per-op DEVICE time via differential scan timing.
+
+    Runs the op inside one jitted scan at two lengths and returns
+    ``(t_long - t_short) / (len_long - len_short)``. A single synced
+    dispatch through the axon relay costs a ~26 ms round trip REGARDLESS
+    of device work (measured: a 128-iteration scan of a trivial op and a
+    32-iteration scan of a 64 MB op both total ~26 ms), so any absolute
+    timing is RTT, not kernel time; the difference between two scan
+    lengths cancels it exactly. A data dependency between iterations
+    stops the compiler from hoisting/deduping the op."""
+    cin = x.shape[-1]
+
+    def many_fn(scan_len):
+        @jax.jit
+        def many(x, w, bias):
+            def body(carry, _):
+                y = fn(carry, w, bias)
+                # zero-valued dependency on y, same shape/dtype as x
+                carry = carry + (y[0:1, 0:1, 0:1, :cin] * 0).astype(carry.dtype)
+                return carry, ()
+            out, _ = jax.lax.scan(body, x, None, length=scan_len)
+            return jnp.sum(out.astype(jnp.float32))
+        return many
+
+    totals = []
+    for scan_len in lens:
+        many = many_fn(scan_len)
+        float(many(x, w, bias))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(many(x, w, bias))
+            best = min(best, time.perf_counter() - t0)
+        totals.append(best)
+    return (totals[1] - totals[0]) / (lens[1] - lens[0])
+
+
 def main(dtype=jnp.bfloat16):
     rng = np.random.default_rng(0)
     print(f"dtype={dtype.__name__}")
@@ -70,31 +108,43 @@ def main(dtype=jnp.bfloat16):
               f"ratio {t_x/t_p:.2f}x  (rel err {rel:.1e})")
 
 
-def main_roll(dtype=None):
-    """Compare both pallas variants vs XLA."""
+def main_roll(dtype=None, batch=None):
+    """Compare all pallas variants vs XLA."""
     import jax.numpy as jnp
 
-    from yolov3_tpu.ops.pallas_conv import conv3x3_fused_roll
+    from yolov3_tpu.ops.pallas_conv import (conv3x3_fused_roll,
+                                            conv3x3_fused_roll2)
 
     dtype = dtype or jnp.bfloat16
     rng = np.random.default_rng(0)
     for label, b, h, w_dim, cin, cout in SHAPES:
+        b = batch or b
         x = jnp.asarray(rng.normal(0, 1, (b, h, w_dim, cin)), dtype=dtype)
         w = jnp.asarray(rng.normal(0, 0.05, (3, 3, cin, cout)), dtype=dtype)
         bias = jnp.asarray(rng.normal(0, 0.1, (cout,)), dtype=jnp.float32)
         f_xla = jax.jit(xla_conv)
-        f_dma = jax.jit(lambda x, w, b: conv3x3_fused(x, w, b))
         f_rol = jax.jit(lambda x, w, b: conv3x3_fused_roll(x, w, b))
-        ref = np.asarray(f_xla(x, w, bias), dtype=np.float32)
-        out = np.asarray(f_rol(x, w, bias), dtype=np.float32)
-        rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6)
-        assert rel < 2e-2, f"{label} roll diverges rel={rel}"
-        t_x, t_d, t_r = (timeit(f, (x, w, bias))
-                         for f in (f_xla, f_dma, f_rol))
-        print(f"{label}: xla {t_x*1e3:6.2f} | dma9 {t_d*1e3:6.2f} "
-              f"({t_x/t_d:.2f}x) | roll {t_r*1e3:6.2f} ({t_x/t_r:.2f}x)",
-              flush=True)
+        f_r2 = jax.jit(lambda x, w, b: conv3x3_fused_roll2(x, w, b))
+        # correctness on a 2-image slice: full buffers at serving batch are
+        # hundreds of MB and the relay D2H runs ~150 KB/s (CLAUDE.md)
+        x2 = x[:2]
+        ref = np.asarray(f_xla(x2, w, bias), dtype=np.float32)
+        for name, f in (("roll", f_rol), ("roll2", f_r2)):
+            out = np.asarray(f(x2, w, bias), dtype=np.float32)
+            rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6)
+            assert rel < 2e-2, f"{label} {name} diverges rel={rel}"
+        t_x, t_r, t_2 = (timeit_scanned(f, x, w, bias)
+                         for f in (xla_conv,
+                                   lambda a, b_, c: conv3x3_fused_roll(a, b_, c),
+                                   lambda a, b_, c: conv3x3_fused_roll2(a, b_, c)))
+        gflop = 2 * 9 * cin * cout * h * w_dim * b / 1e9
+        print(f"b{b} {label}: xla {t_x*1e3:6.2f} ({gflop/t_x/1e3:5.1f} TF) | "
+              f"roll {t_r*1e3:6.2f} ({t_x/t_r:.2f}x) | "
+              f"roll2 {t_2*1e3:6.2f} ({t_x/t_2:.2f}x)", flush=True)
 
 
 if __name__ == "__main__":
-    main_roll() if "--roll" in sys.argv else main()
+    batch = None
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    main_roll(batch=batch) if "--roll" in sys.argv else main()

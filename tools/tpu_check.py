@@ -30,6 +30,33 @@ def check_decode():
     assert rel < 1e-4, "pallas decode diverges on TPU"
 
 
+def check_compact_decode():
+    """Fused compact-decode kernel (the serving default) vs XLA compact
+    decode, compiled on the chip — bit-exact modulo the documented
+    anchor-major candidate order."""
+    from yolov3_tpu.ops.decode import decode_compact_head
+    from yolov3_tpu.ops.pallas_decode import decode_compact_head_pallas
+
+    anchors = ((116.0, 90.0), (156.0, 198.0), (373.0, 326.0))
+    rng = np.random.default_rng(5)
+    feat = jnp.asarray(rng.normal(0, 2, (3, 19, 19, 255)).astype(np.float32))
+    bx0, sc0, cl0 = decode_compact_head(feat, anchors, 32, 80)
+    bx1, sc1, cl1 = decode_compact_head_pallas(feat, anchors, 32, 80)
+    g2, n = 361, 1083
+
+    def reorder(x):
+        x = np.asarray(x)
+        return (x.reshape(3, g2, 3, *x.shape[2:]).swapaxes(1, 2)
+                .reshape(x.shape[0], n, *x.shape[2:]))
+
+    err = max(np.abs(reorder(bx0) - np.asarray(bx1)).max(),
+              np.abs(reorder(sc0) - np.asarray(sc1)).max())
+    mism = int((reorder(cl0) != np.asarray(cl1)).sum())
+    print(f"pallas compact decode compiled: max abs {err:.2e}, "
+          f"class mismatches {mism}")
+    assert err == 0.0 and mism == 0, "pallas compact decode diverges on TPU"
+
+
 def check_nms():
     from yolov3_tpu.ops.nms import batched_nms
 
@@ -79,7 +106,10 @@ def check_conv():
     ref = np.asarray(jnp.where(ref + b > 0, ref + b, 0.1 * (ref + b)),
                      dtype=np.float32)
     scale = np.abs(ref).max() + 1e-6
-    for name, fn in (("dma9", conv3x3_fused), ("roll", conv3x3_fused_roll)):
+    from yolov3_tpu.ops.pallas_conv import conv3x3_fused_roll2
+
+    for name, fn in (("dma9", conv3x3_fused), ("roll", conv3x3_fused_roll),
+                     ("roll2", conv3x3_fused_roll2)):
         out = np.asarray(jax.jit(fn)(x, w, b), dtype=np.float32)
         rel = np.abs(out - ref).max() / scale
         print(f"pallas conv[{name}] compiled: max rel {rel:.2e}")
@@ -114,6 +144,7 @@ def check_e2e_pipeline():
 def main():
     print("devices:", jax.devices())
     check_decode()
+    check_compact_decode()
     check_nms()
     check_conv()
     check_e2e_pipeline()

@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="conv backend for eligible 3x3 layers")
     p.add_argument("--nms-impl", choices=("xla", "pallas"), default="xla",
                    help="NMS suppression backend")
+    p.add_argument("--decode-impl", choices=("xla", "pallas"),
+                   default="pallas",
+                   help="head decode backend (pallas = fused native-layout "
+                        "kernel, the measured-fastest serving default)")
     p.add_argument("--summary", action="store_true",
                    help="print the darknet-style layer table before running")
     p.add_argument("--no-compile-cache", action="store_true",
@@ -155,6 +159,7 @@ def main(argv=None) -> int:
                         iou_thresh=args.iou_thresh,
                         resize_mode=args.resize_mode, top_k=args.top_k,
                         net_hw=net_hw, nms_impl=args.nms_impl,
+                        decode_impl=args.decode_impl,
                         max_results=args.max_results)
     class_names = (load_class_names(args.class_names)
                    if Path(args.class_names).exists() else None)

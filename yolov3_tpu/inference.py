@@ -56,7 +56,8 @@ class Detector:
                  iou_thresh: float = 0.3, resize_mode: str = "letterbox",
                  top_k: int = 512, bgr: bool = True,
                  net_hw: Optional[Tuple[int, int]] = None, mesh=None,
-                 nms_impl: str = "xla", max_results: int = 128):
+                 nms_impl: str = "xla", decode_impl: str = "pallas",
+                 max_results: int = 128):
         self.net = net
         self.prob_thresh = float(prob_thresh)
         self.iou_thresh = float(iou_thresh)
@@ -64,6 +65,10 @@ class Detector:
         self.top_k = int(top_k)
         self.bgr = bgr
         self.nms_impl = nms_impl
+        # fused Pallas compact-decode is the serving default: consumes the
+        # heads in their native lane layout (the XLA decode's 85-lane
+        # relayout costs ~5 ms/step at 608/b128), bit-exact detection sets
+        self.decode_impl = decode_impl
         # post-NMS output compaction: K=512 slots of NMS working set shrink
         # to the top max_results survivors before leaving the device
         self.max_results = int(max_results)
@@ -108,6 +113,7 @@ class Detector:
         precision = self.net.precision
         conv_impl = self.net.conv_impl
         nms_impl = self.nms_impl
+        decode_impl = self.decode_impl
         max_results = self.max_results
 
         if self.mesh is not None:
@@ -120,6 +126,7 @@ class Detector:
                                          precision=precision, bgr=bgr,
                                          act_scales=self.net.act_scales,
                                          nms_impl=nms_impl,
+                                         decode_impl=decode_impl,
                                          max_results=max_results)
                 qparams = self.net.qparams
                 run = lambda params, frames: run_q(qparams, frames)  # noqa: E731
@@ -130,6 +137,7 @@ class Detector:
                                        precision=precision, bgr=bgr,
                                        conv_impl=conv_impl,
                                        nms_impl=nms_impl,
+                                       decode_impl=decode_impl,
                                        max_results=max_results)
             self._pipelines[key] = run
             return run
@@ -146,7 +154,7 @@ class Detector:
                 x = preprocess(frames_u8, net_hw, mode=mode)
                 boxes, scores, classes = forward_compact_int8(
                     graph, qparams, act_scales, x,
-                    precision=precision or "bf16")
+                    precision=precision or "bf16", decode_impl=decode_impl)
                 return batched_nms_compact(boxes, scores, classes,
                                            prob_thresh=prob, iou_thresh=iou,
                                            top_k=top_k, impl=nms_impl,
@@ -165,7 +173,8 @@ class Detector:
             # heads; the (B, N, 5+C) tensor never reaches HBM
             boxes, scores, classes = forward_compact(graph, params, x,
                                                      precision=precision,
-                                                     conv_impl=conv_impl)
+                                                     conv_impl=conv_impl,
+                                                     decode_impl=decode_impl)
             return batched_nms_compact(boxes, scores, classes,
                                        prob_thresh=prob, iou_thresh=iou,
                                        top_k=top_k, impl=nms_impl,

@@ -44,14 +44,16 @@ _PRECISIONS = {
 def _conv(x: jax.Array, w: jax.Array, b: jax.Array, node: Node,
           precision, conv_impl: str = "xla") -> jax.Array:
     if conv_impl == "pallas":
-        # roll variant: single slab DMA per tile (benchmarked ≥ the 9-DMA
-        # variant on every yolov3 shape; see tools/bench_pallas_conv.py)
-        from .ops.pallas_conv import conv3x3_fused_roll, supported
+        # pipelined roll variant: slab reused across cout tiles, DMA
+        # double-buffered across grid steps, divisor row tiles
+        # (tools/bench_pallas_conv.py; 0.85-1.06x XLA's conv, which runs at
+        # 86-97% of v5e bf16 peak on these shapes)
+        from .ops.pallas_conv import conv3x3_fused_roll2, supported
 
         if node.pad and supported(node.size, node.stride, w.shape[2],
-                                  x.shape[1], x.shape[2], node.activation):
-            return conv3x3_fused_roll(x, w.astype(x.dtype), b,
-                                      activation=node.activation)
+                                  node.activation):
+            return conv3x3_fused_roll2(x, w.astype(x.dtype), b,
+                                       activation=node.activation)
     pad = node.size // 2 if node.pad else 0
     y = lax.conv_general_dilated(
         x, w.astype(x.dtype),
@@ -165,16 +167,21 @@ def forward_compact(
     x: jax.Array,
     precision: Optional[str] = None,
     conv_impl: str = "xla",
+    decode_impl: str = "xla",
 ):
     """Serving-path forward: (B, H, W, C) → (boxes (B,N,4) tlbr, scores (B,N),
     classes (B,N)). Skips materializing the (B, N, 5+C) tensor entirely —
     decode and the per-anchor score/class reduction fuse into one pass
-    (see ``ops.decode.decode_compact``)."""
-    from .ops.decode import decode_compact
-
+    (see ``ops.decode.decode_compact``). ``decode_impl="pallas"`` runs the
+    fused Pallas kernel instead (native head layout; anchor-major candidate
+    order — same detection sets, see ``ops.pallas_decode``)."""
     heads = forward_features(graph, params, x, precision, conv_impl)
     yolo_nodes = graph.yolo_nodes
-    return decode_compact(
+    if decode_impl == "pallas":
+        from .ops.pallas_decode import decode_compact_pallas as _decode
+    else:
+        from .ops.decode import decode_compact as _decode
+    return _decode(
         heads,
         [n.anchors for n in yolo_nodes],
         list(graph.head_strides()),

@@ -137,6 +137,146 @@ def decode_head_pallas(
     return out
 
 
+def _decode_compact_kernel(f_ref, o_ref, *, gx, gy, n_rows, rows_tile,
+                           anchors, stride, num_classes, prob_thresh):
+    """Fused compact decode of one row-tile of grid cells.
+
+    Consumes the head map in its NATIVE lane layout — (cells, A·(5+C) pad
+    128) — transposes the tile in-register (channels → sublanes, where any
+    static offset is sliceable), and emits per-anchor (tlbr, thresholded
+    score, class) as an already-transposed (32, cells) block. The XLA
+    alternative must relayout the full map to an 85-lane minor dim, which
+    measures 3.4 ms at 608/b128 for the 76² head alone — the relayout IS
+    the decode cost (sigmoid+exp on the native layout is 0.77 ms).
+    """
+    per = 5 + num_classes
+    tile = pl.program_id(0)
+
+    ft = f_ref[:].astype(jnp.float32).T  # (C_pad, rows): channel = sublane
+    rows = ft.shape[1]
+
+    # global cell index per lane-position; batch component stripped
+    gcell = (tile * rows_tile
+             + jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1))
+    valid = gcell < n_rows
+    cell = gcell % (gx * gy)
+    col = (cell % gx).astype(jnp.float32)
+    row = (cell // gx).astype(jnp.float32)
+    # tpu.iota is integer-only; cast after
+    cls_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (num_classes, rows), 0).astype(jnp.float32)
+
+    outs = []
+    for ai, (aw, ah) in enumerate(anchors):
+        base = ai * per
+        tx = ft[base + 0:base + 1, :]
+        ty = ft[base + 1:base + 2, :]
+        tw = ft[base + 2:base + 3, :]
+        th = ft[base + 3:base + 4, :]
+        obj = ft[base + 4:base + 5, :]
+        cls = ft[base + 5:base + per, :]          # (C, rows) sublane slice
+
+        cx = (jax.nn.sigmoid(tx) + col) * jnp.float32(stride)
+        cy = (jax.nn.sigmoid(ty) + row) * jnp.float32(stride)
+        w = jnp.exp(jnp.minimum(tw, 60.0)) * jnp.float32(aw)
+        h = jnp.exp(jnp.minimum(th, 60.0)) * jnp.float32(ah)
+
+        m = jnp.max(cls, axis=0, keepdims=True)
+        # first-argmax (reference semantics): min class index attaining m
+        idx = jnp.min(jnp.where(cls >= m, cls_iota, jnp.float32(3e5)),
+                      axis=0, keepdims=True)
+        score = jax.nn.sigmoid(obj) * jax.nn.sigmoid(m)
+        score = jnp.where((score >= prob_thresh) & valid, score, 0.0)
+
+        outs.extend([cx - w * 0.5, cy - h * 0.5, cx + w * 0.5, cy + h * 0.5,
+                     score, idx, score * 0, score * 0])  # 8 rows per anchor
+    outs.extend([outs[4] * 0] * (o_ref.shape[0] - len(outs)))
+    o_ref[:] = jnp.concatenate(outs, axis=0)
+
+
+def decode_compact_head_pallas(
+    feat: jax.Array,
+    anchors: Tuple[Tuple[float, float], ...],
+    stride: int,
+    num_classes: int,
+    prob_thresh: float = 0.0,
+    rows_tile: int = 4096,
+    interpret: bool = False,
+):
+    """Pallas fused compact decode of one head (VERDICT.md round-1 #4).
+
+    (B, gy, gx, A*(5+C)) → (boxes (B, n, 4) f32, scores (B, n), classes
+    (B, n) int32) with **anchor-major** candidate order n = a·g² + cell
+    (NMS is order-agnostic: selection is by score). Scores below
+    ``prob_thresh`` are zeroed in-kernel (the fused decode+threshold path).
+    """
+    b, gy, gx, c = feat.shape
+    a = len(anchors)
+    per = 5 + num_classes
+    assert c == a * per
+    # Pallas compiles for TPU only; on the CPU backend (tests, virtual
+    # meshes) the same kernel runs in interpret mode so every environment
+    # exercises one code path.
+    interpret = interpret or jax.default_backend() == "cpu"
+    c_pad = ((c + LANES - 1) // LANES) * LANES
+
+    n_rows = b * gy * gx
+    rows_tile = min(rows_tile, ((n_rows + 127) // 128) * 128)
+    n_rows_pad = ((n_rows + rows_tile - 1) // rows_tile) * rows_tile
+    flat = feat.reshape(n_rows, c)
+    flat = jnp.pad(flat, ((0, n_rows_pad - n_rows), (0, c_pad - c)))
+
+    kernel = partial(_decode_compact_kernel, gx=gx, gy=gy, n_rows=n_rows,
+                     rows_tile=rows_tile, anchors=tuple(anchors),
+                     stride=stride, num_classes=num_classes,
+                     prob_thresh=float(prob_thresh))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((32, n_rows_pad), jnp.float32),
+        grid=(n_rows_pad // rows_tile,),
+        in_specs=[pl.BlockSpec((rows_tile, c_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((32, rows_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(flat)
+
+    out = out[:, :n_rows]
+    boxes = jnp.stack([out[8 * ai:8 * ai + 4, :] for ai in range(a)])
+    boxes = boxes.transpose(0, 2, 1).reshape(a, b, gy * gx, 4)
+    boxes = boxes.transpose(1, 0, 2, 3).reshape(b, a * gy * gx, 4)
+    scores = jnp.stack([out[8 * ai + 4, :] for ai in range(a)])
+    scores = scores.reshape(a, b, gy * gx).transpose(1, 0, 2).reshape(b, -1)
+    classes = jnp.stack([out[8 * ai + 5, :] for ai in range(a)])
+    classes = (classes.reshape(a, b, gy * gx).transpose(1, 0, 2)
+               .reshape(b, -1).astype(jnp.int32))
+    return boxes, scores, classes
+
+
+def decode_compact_pallas(
+    feats: Sequence[jax.Array],
+    anchors_per_head,
+    strides: Sequence[int],
+    num_classes: int,
+    prob_thresh: float = 0.0,
+    interpret: bool = False,
+):
+    """Pallas compact decode of every head → concatenated (boxes, scores,
+    classes). Candidate order differs from :func:`decode.decode_compact`
+    (anchor-major within each head) — NMS selection is order-independent,
+    so detection SETS are identical; per-head blocks stay in head order."""
+    parts = [
+        decode_compact_head_pallas(f, a, s, num_classes,
+                                   prob_thresh=prob_thresh,
+                                   interpret=interpret)
+        for f, a, s in zip(feats, anchors_per_head, strides)
+    ]
+    boxes = jnp.concatenate([p[0] for p in parts], axis=1)
+    scores = jnp.concatenate([p[1] for p in parts], axis=1)
+    classes = jnp.concatenate([p[2] for p in parts], axis=1)
+    return boxes, scores, classes
+
+
 def decode_all_pallas(
     feats: Sequence[jax.Array],
     anchors_per_head,

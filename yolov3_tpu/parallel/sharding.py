@@ -61,7 +61,8 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
                      top_k: int = 512, mode: str = "letterbox",
                      precision: Optional[str] = None, bgr: bool = True,
                      act_scales=None, conv_impl: str = "xla",
-                     nms_impl: str = "xla", max_results: int = 0):
+                     nms_impl: str = "xla", decode_impl: str = "pallas",
+                     max_results: int = 0):
     """Build the batch-DP end-to-end detect step, jitted over ``mesh``.
 
     Returns ``run(params, frames_u8)``: uint8 (B, H, W, 3) sharded on batch →
@@ -84,11 +85,13 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
             from ..quant import forward_compact_int8
 
             boxes, scores, classes = forward_compact_int8(
-                graph, params, act_scales, x, precision=precision or "bf16")
+                graph, params, act_scales, x, precision=precision or "bf16",
+                decode_impl=decode_impl)
         else:
             boxes, scores, classes = forward_compact(graph, params, x,
                                                      precision=precision,
-                                                     conv_impl=conv_impl)
+                                                     conv_impl=conv_impl,
+                                                     decode_impl=decode_impl)
         return batched_nms_compact(boxes, scores, classes,
                                    prob_thresh=prob_thresh,
                                    iou_thresh=iou_thresh, top_k=top_k,

@@ -189,13 +189,17 @@ def forward_features_int8(graph: Graph, qparams, scales: Dict[int, float],
 
 
 def forward_compact_int8(graph: Graph, qparams, scales, x,
-                         precision: Optional[str] = "bf16"):
+                         precision: Optional[str] = "bf16",
+                         decode_impl: str = "xla"):
     """int8 serving forward → (boxes, scores, classes), compact decode."""
-    from .ops.decode import decode_compact
+    if decode_impl == "pallas":
+        from .ops.pallas_decode import decode_compact_pallas as _decode
+    else:
+        from .ops.decode import decode_compact as _decode
 
     heads = forward_features_int8(graph, qparams, scales, x, precision)
     yolo_nodes = graph.yolo_nodes
-    return decode_compact(
+    return _decode(
         heads, [n.anchors for n in yolo_nodes], list(graph.head_strides()),
         yolo_nodes[0].classes)
 
