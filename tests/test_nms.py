@@ -219,3 +219,40 @@ def test_over_top_k_full_path_matches_reference_on_top_k_subset():
     top = np.argsort(-score, kind="stable")[:k]
     want = numpy_reference_nms(det[top], 0.01, 0.4)
     assert _result_set(res, 0) == want
+
+
+def test_blocked_suppress_equals_scalar_greedy():
+    """_greedy_suppress_blocked is bit-identical to the scalar greedy loop,
+    including on adversarial suppression chains (a ladder of boxes where
+    each suppresses the next — maximal fixpoint-iteration depth) and across
+    block boundaries."""
+    import jax
+    from yolov3_tpu.ops.nms import (_greedy_suppress,
+                                    _greedy_suppress_blocked, iou_matrix)
+
+    rng = np.random.default_rng(41)
+    cases = []
+    # random clouds
+    for n in (64, 128, 512):
+        det = random_detections(rng, n=n, classes=5)
+        boxes = cxywh_to_tlbr(det[:, :4])
+        classes = det[:, 5:].argmax(1).astype(np.int32)
+        valid = rng.uniform(0, 1, n) > 0.2
+        cases.append((boxes, classes, valid))
+    # adversarial ladder: box i overlaps i+1 heavily (chain depth = n),
+    # same class, crossing block boundaries
+    n = 192
+    x0 = np.arange(n, dtype=np.float32) * 4.0
+    ladder = np.stack([x0, np.zeros(n, np.float32),
+                       x0 + 40.0, np.full(n, 40.0, np.float32)], axis=1)
+    cases.append((ladder, np.zeros(n, np.int32), np.ones(n, bool)))
+
+    for boxes, classes, valid in cases:
+        iou = iou_matrix(jnp.asarray(boxes))
+        same = jnp.asarray(classes[:, None] == classes[None, :])
+        va = jnp.asarray(valid)
+        ref = np.asarray(jax.jit(_greedy_suppress,
+                                 static_argnames="iou_thresh")(iou, same, va, 0.3))
+        out = np.asarray(jax.jit(_greedy_suppress_blocked,
+                                 static_argnames="iou_thresh")(iou, same, va, 0.3))
+        np.testing.assert_array_equal(ref, out)
