@@ -40,7 +40,8 @@ def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
     def run(params, frames_u8):
         x = preprocess(frames_u8[..., ::-1], net_hw)
         boxes, scores, classes = forward_compact(graph, params, x,
-                                                 precision=precision)
+                                                 precision=precision,
+                                                 decode_impl="pallas")
         res = batched_nms_compact(boxes, scores, classes,
                                   prob_thresh=prob_thresh)
         # reduce to scalars ON DEVICE: fetching full NMS buffers through this
@@ -90,7 +91,8 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05):
     def run(qparams, frames_u8):
         x = preprocess(frames_u8[..., ::-1], net_hw)
         boxes, scores, classes = forward_compact_int8(
-            graph, qparams, scales, x, precision="bf16")
+            graph, qparams, scales, x, precision="bf16",
+            decode_impl="pallas")
         res = batched_nms_compact(boxes, scores, classes,
                                   prob_thresh=prob_thresh)
         return jnp.sum(res.scores), jnp.sum(res.valid)
@@ -205,9 +207,13 @@ def main():
     def measure_at(size, prec, prms):
         frames = np.random.default_rng(1).integers(
             0, 256, (args.batch, size, size, 3), dtype=np.uint8)
+        # scale iteration count with expected step speed: fast rows (smaller
+        # resolution, int8) otherwise amortize too little of the relay's
+        # fixed dispatch cost and read 20-30% low with run-to-run swings
+        iters = args.iters * max(1, round((608 / size) ** 2))
         if prec == "int8":
-            return measure_tpu_int8(graph, prms, frames, args.iters)
-        return measure_tpu(graph, prms, frames, args.iters, precision=prec)
+            return measure_tpu_int8(graph, prms, frames, iters)
+        return measure_tpu(graph, prms, frames, iters, precision=prec)
 
     # BASELINE.json's tracked metric names BOTH @608 and @416 — default run
     # measures both; --size pins one. The headline row is the first size.
