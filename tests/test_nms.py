@@ -256,3 +256,72 @@ def test_blocked_suppress_equals_scalar_greedy():
         out = np.asarray(jax.jit(_greedy_suppress_blocked,
                                  static_argnames="iou_thresh")(iou, same, va, 0.3))
         np.testing.assert_array_equal(ref, out)
+
+
+def test_pairmax_select_matches_topk_select():
+    """_select_pairmax is bit-identical to the lax.top_k selection —
+    including tie-heavy scores (quantized to force exact duplicates), the
+    >K regime, n < k, and the all-below-threshold case."""
+    import jax
+    from jax import lax
+    from yolov3_tpu.ops.nms import _select_pairmax
+
+    def topk_reference(boxes, masked, classes, k):
+        top_scores, top_i = lax.top_k(masked, k)
+        return (jnp.take_along_axis(boxes, top_i[..., None], axis=1),
+                top_scores,
+                jnp.take_along_axis(classes, top_i, axis=1),
+                top_scores > 0.0)
+
+    rng = np.random.default_rng(57)
+    cases = []
+    for n, k, quantize, density in [
+        (22743, 512, False, 0.02),   # serving shape, sparse
+        (2000, 512, False, 0.9),     # >K regime: dense
+        (2000, 512, True, 0.9),      # >K with massive score ties
+        (300, 512, False, 0.5),      # n < k (k clamps to n)
+        (129, 64, True, 1.0),        # odd n: pair padding
+        (1000, 256, False, 0.0),     # everything below threshold
+    ]:
+        b = 3
+        raw = rng.uniform(0.1, 1.0, (b, n)).astype(np.float32)
+        if quantize:
+            raw = (np.round(raw * 8) / 8).astype(np.float32)  # heavy ties
+        mask = rng.uniform(0, 1, (b, n)) < density
+        masked = np.where(mask, raw, 0.0).astype(np.float32)
+        boxes = rng.uniform(0, 416, (b, n, 4)).astype(np.float32)
+        classes = rng.integers(0, 80, (b, n), dtype=np.int32)
+        cases.append((boxes, masked, classes, min(k, n)))
+
+    for boxes, masked, classes, k in cases:
+        args = (jnp.asarray(boxes), jnp.asarray(masked), jnp.asarray(classes))
+        ref = topk_reference(*args, k)
+        out = jax.jit(_select_pairmax, static_argnames="k")(*args, k=k)
+        # selection set + order must match exactly; box/class payloads of
+        # INVALID (zero-score padding) slots are unspecified in both impls
+        valid = np.asarray(ref[3])
+        np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+        np.testing.assert_array_equal(np.asarray(out[3]), valid)
+        np.testing.assert_array_equal(np.asarray(out[0])[valid],
+                                      np.asarray(ref[0])[valid])
+        np.testing.assert_array_equal(np.asarray(out[2])[valid],
+                                      np.asarray(ref[2])[valid])
+
+
+def test_nms_compact_pairmax_equals_topk_end_to_end():
+    """batched_nms_compact(select_impl="pairmax") ≡ select_impl="topk"."""
+    from yolov3_tpu.ops.nms import batched_nms_compact
+
+    rng = np.random.default_rng(61)
+    det = random_detections(rng, n=1200, classes=8)
+    boxes = jnp.asarray(cxywh_to_tlbr(det[None, :, :4]))
+    scores = jnp.asarray((det[:, 4] * det[:, 5:].max(1))[None])
+    classes = jnp.asarray(det[:, 5:].argmax(1).astype(np.int32)[None])
+    a = batched_nms_compact(boxes, scores, classes, prob_thresh=0.1,
+                            iou_thresh=0.4, top_k=256, select_impl="pairmax")
+    b = batched_nms_compact(boxes, scores, classes, prob_thresh=0.1,
+                            iou_thresh=0.4, top_k=256, select_impl="topk")
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_array_equal(np.asarray(a.scores), np.asarray(b.scores))
+    np.testing.assert_array_equal(np.asarray(a.boxes), np.asarray(b.boxes))
+    np.testing.assert_array_equal(np.asarray(a.classes), np.asarray(b.classes))

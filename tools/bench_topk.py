@@ -116,19 +116,10 @@ def main():
         "sort small (B,K)": lambda s: (lax.rev(lax.sort(
             s[:, :args.k], dimension=1, is_stable=False), (1,)),),
     }
-    try:
-        from yolov3_tpu.ops.pallas_select import topk_select
+    from yolov3_tpu.ops.nms import _select_pairmax
 
-        def stage_select(s):
-            top_scores, top_i = topk_select(s, args.k)
-            tb = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
-            tc = jnp.take_along_axis(classes, top_i, axis=1)
-            return top_scores, tb, tc
-
-        variants["pallas select+gathers"] = stage_select
-        variants["pallas select only"] = lambda s: topk_select(s, args.k)
-    except ImportError:
-        pass
+    variants["pairmax select"] = lambda s: _select_pairmax(
+        boxes, s, classes, args.k)
 
     for name, fn in variants.items():
         t = timeit_scanned(fn, (scores,), dep_carry)

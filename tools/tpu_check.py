@@ -78,6 +78,31 @@ def check_nms():
     assert ok, "pallas NMS diverges on TPU"
 
 
+def check_pairmax_select():
+    """pairmax selection ≡ lax.top_k selection, compiled on the chip."""
+    from yolov3_tpu.ops.nms import batched_nms_compact
+    from yolov3_tpu.utils.boxes import cxywh_to_tlbr
+
+    rng = np.random.default_rng(3)
+    n = 22743
+    boxes = jnp.asarray(cxywh_to_tlbr(np.concatenate(
+        [rng.uniform(0, 608, (2, n, 2)), rng.uniform(8, 120, (2, n, 2))],
+        axis=2).astype(np.float32)))
+    scores = jnp.asarray(rng.uniform(0, 1, (2, n)).astype(np.float32)
+                         * (rng.uniform(0, 1, (2, n)) < 0.05))
+    classes = jnp.asarray(rng.integers(0, 80, (2, n), dtype=np.int32))
+    a = batched_nms_compact(boxes, scores, classes, prob_thresh=0.3,
+                            select_impl="pairmax")
+    b = batched_nms_compact(boxes, scores, classes, prob_thresh=0.3,
+                            select_impl="topk")
+    ok = (np.array_equal(np.asarray(a.valid), np.asarray(b.valid))
+          and np.array_equal(np.asarray(a.scores), np.asarray(b.scores))
+          and np.array_equal(np.asarray(a.boxes), np.asarray(b.boxes)))
+    print(f"pairmax select compiled: survivors "
+          f"{int(np.asarray(a.valid).sum())}, exact match vs top_k: {ok}")
+    assert ok, "pairmax selection diverges on TPU"
+
+
 def time_stage(fn, args, iters=5, label=""):
     out = fn(*args)
     jax.tree.map(lambda x: float(jnp.sum(x.astype(jnp.float32))), out)
@@ -146,6 +171,7 @@ def main():
     check_decode()
     check_compact_decode()
     check_nms()
+    check_pairmax_select()
     check_conv()
     check_e2e_pipeline()
     print("OK")

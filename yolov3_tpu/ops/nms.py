@@ -139,6 +139,57 @@ def _candidates(det: jax.Array, prob_thresh: float, top_k: int):
     return boxes, top_scores, class_idx[top_i], valid
 
 
+def _select_pairmax(boxes: jax.Array, masked: jax.Array, classes: jax.Array,
+                    k: int):
+    """Exact top-k candidate selection via pair-max reduction (serving path).
+
+    Replaces ``lax.top_k(masked, k)`` + two big gathers, which measure
+    ~3.1 ms at (B=128, N=22743, K=512) on v5e — lax.top_k scales with N·k
+    and every take_along_axis from an (B, N, ·) operand costs ~0.7 ms
+    regardless of payload width (tools/bench_topk*.py). Three steps:
+
+    1. pair-max: reduce scores to N/2 pair maxima (one cheap VPU pass);
+    2. ``lax.top_k`` over the pair maxima (half-size input, int32 bitcast
+       keys — monotone for non-negative floats and ~20% faster than f32),
+       then ONE packed gather of both elements of each selected pair;
+    3. small 2-key stable sort of the 2k surviving candidates by
+       (score desc, original index asc) — exactly lax.top_k's order.
+
+    Exactness (incl. ties): an element e belongs to the top-k by
+    (score desc, index asc) ⇒ fewer than k elements precede it ⇒ fewer
+    than k pairs have (max, pair-index) preceding e's pair (each such pair
+    contains a preceding element) ⇒ e's pair is in the pair-top-k, so e
+    survives step 2 and step 3 places it exactly. Tested against
+    lax.top_k bit-for-bit, tie-heavy cases included (tests/test_nms.py).
+    """
+    b, n = masked.shape
+    np2 = (n + 1) // 2 * 2
+    iota = lax.broadcasted_iota(jnp.float32, (b, n), 1)  # < 2^24: exact f32
+    # packed per-candidate payload: one gather moves everything
+    payload = jnp.concatenate(
+        [boxes, masked[..., None], classes.astype(jnp.float32)[..., None],
+         iota[..., None], jnp.zeros((b, n, 1), jnp.float32)], axis=-1)
+    if np2 != n:
+        payload = jnp.pad(payload, ((0, 0), (0, np2 - n), (0, 0)))
+        masked = jnp.pad(masked, ((0, 0), (0, np2 - n)))
+
+    kp = min(k, np2 // 2)
+    pmax = jnp.max(masked.reshape(b, np2 // 2, 2), axis=2)
+    _, pair_i = lax.top_k(lax.bitcast_convert_type(pmax, jnp.int32), kp)
+    pairs = jnp.take_along_axis(payload.reshape(b, np2 // 2, 16),
+                                pair_i[..., None], axis=1)
+    cand = pairs.reshape(b, 2 * kp, 8)
+
+    key = -lax.bitcast_convert_type(cand[:, :, 4], jnp.int32)
+    srt = lax.sort((key, cand[:, :, 6], cand[:, :, 0], cand[:, :, 1],
+                    cand[:, :, 2], cand[:, :, 3], cand[:, :, 5]),
+                   dimension=1, num_keys=2)
+    top_scores = lax.bitcast_convert_type(-srt[0][:, :k], jnp.float32)
+    top_boxes = jnp.stack([srt[i][:, :k] for i in (2, 3, 4, 5)], axis=-1)
+    top_classes = srt[6][:, :k].astype(jnp.int32)
+    return top_boxes, top_scores, top_classes, top_scores > 0.0
+
+
 def compact_results(res: NMSResult, max_results: int) -> NMSResult:
     """Gather the top ``max_results`` survivors per image (score-desc).
 
@@ -207,24 +258,35 @@ def batched_nms(detections: jax.Array, prob_thresh: float = 0.05,
 
 
 @partial(jax.jit, static_argnames=("prob_thresh", "iou_thresh", "top_k",
-                                   "impl", "interpret", "max_results"))
+                                   "impl", "interpret", "max_results",
+                                   "select_impl"))
 def batched_nms_compact(boxes: jax.Array, scores: jax.Array,
                         classes: jax.Array, prob_thresh: float = 0.05,
                         iou_thresh: float = 0.3, top_k: int = 512,
                         impl: str = "xla", interpret: bool = False,
-                        max_results: int = 0) -> NMSResult:
+                        max_results: int = 0,
+                        select_impl: str = "pairmax") -> NMSResult:
     """NMS over compact-decode outputs (serving path): tlbr boxes (B, N, 4),
     scores (B, N), classes (B, N) — score/class reduction already fused into
     decode, so this is just threshold → top-k gather → greedy suppression.
     Identical semantics/results to :func:`batched_nms` on the same data.
     ``max_results > 0`` compacts the output to that many top survivors.
+    ``select_impl``: "pairmax" (default — exact pair-max selection,
+    ~1.6× faster at serving shapes, see :func:`_select_pairmax`) or "topk"
+    (the direct lax.top_k + gathers formulation; bit-identical results).
     """
     masked = jnp.where(scores >= prob_thresh, scores, 0.0)
     k = min(top_k, scores.shape[1])
-    top_scores, top_i = lax.top_k(masked, k)  # batched over leading dim
-    valid = top_scores > 0.0
-    top_boxes = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
-    top_classes = jnp.take_along_axis(classes, top_i, axis=1)
+    if select_impl == "pairmax":
+        top_boxes, top_scores, top_classes, valid = _select_pairmax(
+            boxes, masked, classes, k)
+    elif select_impl == "topk":
+        top_scores, top_i = lax.top_k(masked, k)  # batched over leading dim
+        valid = top_scores > 0.0
+        top_boxes = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
+        top_classes = jnp.take_along_axis(classes, top_i, axis=1)
+    else:
+        raise ValueError(f"unknown select_impl {select_impl!r}")
     res = _suppress_batch(top_boxes, top_scores, top_classes, valid,
                           iou_thresh, impl, interpret)
     if max_results and max_results < k:
