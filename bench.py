@@ -76,7 +76,7 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05):
 
     from yolov3_tpu.ops.nms import batched_nms_compact
     from yolov3_tpu.ops.preprocess import preprocess
-    from yolov3_tpu.quant import (calibrate, forward_compact_int8,
+    from yolov3_tpu.quant import (calibrate_tensors, forward_compact_int8,
                                   quantize_weights)
 
     net_hw = (frames.shape[1], frames.shape[2])
@@ -84,7 +84,7 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05):
     rng = np.random.default_rng(3)
     calib = [preprocess(jnp.asarray(
         rng.integers(0, 256, (8, *net_hw, 3), dtype=np.uint8)), net_hw)]
-    scales = calibrate(graph, dev_params, calib, precision="bf16")
+    scales = calibrate_tensors(graph, dev_params, calib, precision="bf16")
     qparams = jax.device_put(quantize_weights(graph, dev_params))
 
     @jax.jit
@@ -92,7 +92,7 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05):
         x = preprocess(frames_u8[..., ::-1], net_hw)
         boxes, scores, classes = forward_compact_int8(
             graph, qparams, scales, x, precision="bf16",
-            decode_impl="pallas")
+            decode_impl="pallas", carrier="int8")
         res = batched_nms_compact(boxes, scores, classes,
                                   prob_thresh=prob_thresh)
         return jnp.sum(res.scores), jnp.sum(res.valid)

@@ -181,3 +181,72 @@ def test_detector_int8_integration(setup, cfg_paths, tmp_path):
     results = det.detect_batch(
         rng.integers(0, 256, (2, 480, 640, 3), dtype=np.uint8))
     assert len(results) == 2
+
+
+def test_calibrate_tensors_matches_conv_input_scales(setup):
+    """Per-tensor calibration is a superset of the per-conv-input view:
+    a conv's input scale equals its input tensor's output scale."""
+    from yolov3_tpu.quant import calibrate_tensors
+
+    g, params, x = setup
+    s_conv = calibrate(g, params, [x], precision=None)
+    s_tens = calibrate_tensors(g, params, [x], precision=None)
+    assert set(s_tens) == {n.index for n in g.nodes}
+    for n in g.conv_nodes:
+        if eligible(g, n) and n.inputs[0] >= 0:
+            np.testing.assert_allclose(s_conv[n.index], s_tens[n.inputs[0]],
+                                       rtol=1e-6)
+
+
+def test_int8_carrier_prenms_parity_with_fp32(setup):
+    """The int8 activation carrier (round 2) must hold the same pre-NMS
+    gate as the bf16 carrier: top-200 fp32 candidates, |Δscore| ≤ 0.01,
+    |Δbox| ≤ 0.5 px @416, identical class."""
+    from yolov3_tpu.quant import calibrate_tensors
+
+    g, params, x = setup
+    s_tens = calibrate_tensors(g, params, [x], precision=None)
+    q = quantize_weights(g, params)
+
+    b32, s32, c32 = forward_compact(g, params, x)
+    bq, sq, cq = forward_compact_int8(g, q, s_tens, x, precision=None,
+                                      carrier="int8")
+    s32n, sqn = np.asarray(s32), np.asarray(sq)
+    b32n, bqn = np.asarray(b32), np.asarray(bq)
+    c32n, cqn = np.asarray(c32), np.asarray(cq)
+    for i in range(x.shape[0]):
+        top = np.argsort(s32n[i])[::-1][:200]
+        assert np.abs(s32n[i][top] - sqn[i][top]).max() <= 0.01
+        assert np.abs(b32n[i][top] - bqn[i][top]).max() <= 0.5
+        assert (c32n[i][top] == cqn[i][top]).all()
+
+
+def test_int8_carrier_box_parity_with_fp32(setup):
+    """Set-level detection parity through NMS for the int8 carrier."""
+    from yolov3_tpu.quant import calibrate_tensors
+
+    g, params, x = setup
+    s_tens = calibrate_tensors(g, params, [x], precision=None)
+    q = quantize_weights(g, params)
+
+    b32, s32, c32 = forward_compact(g, params, x)
+    r32 = batched_nms_compact(b32, s32, c32, prob_thresh=0.3, top_k=64)
+    bq, sq, cq = forward_compact_int8(g, q, s_tens, x, precision=None,
+                                      carrier="int8")
+    rq = batched_nms_compact(bq, sq, cq, prob_thresh=0.3, top_k=64)
+
+    matched, total = 0, 0
+    for i in range(x.shape[0]):
+        for j in np.where(np.asarray(r32.valid[i]))[0]:
+            if float(r32.scores[i, j]) < 0.35:
+                continue
+            total += 1
+            box = np.asarray(r32.boxes[i, j])
+            cls = int(r32.classes[i, j])
+            vq = np.where(np.asarray(rq.valid[i]))[0]
+            best = max((_iou(box, np.asarray(rq.boxes[i, k]))
+                        for k in vq if int(rq.classes[i, k]) == cls),
+                       default=0.0)
+            matched += best > 0.9
+    assert total > 0
+    assert matched / total >= 0.8, f"int8 carrier parity {matched}/{total}"

@@ -125,6 +125,8 @@ class Detector:
                                          top_k=top_k, mode=mode,
                                          precision=precision, bgr=bgr,
                                          act_scales=self.net.act_scales,
+                                         carrier=getattr(self.net, "qcarrier",
+                                                         "bf16"),
                                          nms_impl=nms_impl,
                                          decode_impl=decode_impl,
                                          max_results=max_results)
@@ -146,6 +148,7 @@ class Detector:
             from .quant import forward_compact_int8
 
             qparams, act_scales = self.net.qparams, self.net.act_scales
+            carrier = getattr(self.net, "qcarrier", "bf16")
 
             @jax.jit
             def run_q(qparams, frames_u8):
@@ -154,7 +157,8 @@ class Detector:
                 x = preprocess(frames_u8, net_hw, mode=mode)
                 boxes, scores, classes = forward_compact_int8(
                     graph, qparams, act_scales, x,
-                    precision=precision or "bf16", decode_impl=decode_impl)
+                    precision=precision or "bf16", decode_impl=decode_impl,
+                    carrier=carrier)
                 return batched_nms_compact(boxes, scores, classes,
                                            prob_thresh=prob, iou_thresh=iou,
                                            top_k=top_k, impl=nms_impl,

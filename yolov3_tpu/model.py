@@ -209,6 +209,7 @@ class Darknet:
         self.params: Optional[Dict[int, Dict[str, jax.Array]]] = None
         self.qparams = None  # int8 path (quantize_int8)
         self.act_scales = None
+        self.qcarrier = "int8"  # activation carrier of the int8 path
         self._jitted = {}
 
     @property
@@ -216,15 +217,20 @@ class Darknet:
         return self.qparams is not None
 
     def quantize_int8(self, calibration_frames, net_hw=None,
-                      mode: str = "letterbox") -> "Darknet":
+                      mode: str = "letterbox",
+                      carrier: str = "int8") -> "Darknet":
         """Post-training int8 quantization (see ``quant.py``).
 
         ``calibration_frames``: (N, H, W, 3) uint8 RGB frames (a few dozen
         representative images); they are letterboxed to the net input size
-        and used to calibrate per-conv activation scales.
-        """
+        and used to calibrate activation scales. ``carrier="int8"``
+        (default) keeps activations int8 BETWEEN ops — quantization fused
+        into producer epilogues, half the inter-op traffic (quant.py,
+        ``forward_features_int8_carrier``); ``carrier="bf16"`` quantizes at
+        each conv input (round-1 scheme). Both hold the same parity gates
+        (tests/test_quant.py)."""
         from .ops.preprocess import preprocess
-        from .quant import calibrate, quantize_weights
+        from .quant import calibrate, calibrate_tensors, quantize_weights
 
         if self.params is None:
             raise RuntimeError("load_weights() before quantize_int8()")
@@ -238,8 +244,10 @@ class Darknet:
             frames = jnp.asarray(calibration_frames)
             batches = [preprocess(frames[i:i + 8], net_hw, mode=mode)
                        for i in range(0, frames.shape[0], 8)]
-        self.act_scales = calibrate(self.graph, self.params, batches,
-                                    precision=self.precision or "bf16")
+        calib = calibrate_tensors if carrier == "int8" else calibrate
+        self.act_scales = calib(self.graph, self.params, batches,
+                                precision=self.precision or "bf16")
+        self.qcarrier = carrier
         self.qparams = quantize_weights(self.graph, self.params)
         return self
 

@@ -60,7 +60,8 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
                      prob_thresh: float = 0.05, iou_thresh: float = 0.3,
                      top_k: int = 512, mode: str = "letterbox",
                      precision: Optional[str] = None, bgr: bool = True,
-                     act_scales=None, conv_impl: str = "xla",
+                     act_scales=None, carrier: str = "bf16",
+                     conv_impl: str = "xla",
                      nms_impl: str = "xla", decode_impl: str = "pallas",
                      max_results: int = 0):
     """Build the batch-DP end-to-end detect step, jitted over ``mesh``.
@@ -86,7 +87,7 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
 
             boxes, scores, classes = forward_compact_int8(
                 graph, params, act_scales, x, precision=precision or "bf16",
-                decode_impl=decode_impl)
+                decode_impl=decode_impl, carrier=carrier)
         else:
             boxes, scores, classes = forward_compact(graph, params, x,
                                                      precision=precision,

@@ -133,6 +133,154 @@ def _conv_int8_core(x_or_q, node: Node, qp, sx: float,
     return y.astype(jnp.float32) * (qp["sw"] * jnp.float32(sx)) + qp["b"]
 
 
+def consumers_of(graph: Graph) -> Dict[int, List[Node]]:
+    """node index → nodes consuming its output (explicit input edges)."""
+    out: Dict[int, List[Node]] = {n.index: [] for n in graph.nodes}
+    for n in graph.nodes:
+        for i in n.inputs:
+            if i >= 0:
+                out[i].append(n)
+    return out
+
+
+def _quantize_to(y: jax.Array, scale) -> jax.Array:
+    return jnp.clip(jnp.round(y.astype(jnp.float32) * (1.0 / scale)),
+                    -127, 127).astype(jnp.int8)
+
+
+def _maxpool_int8(x: jax.Array, node: Node) -> jax.Array:
+    """int8 maxpool — max is monotone, so pooling quantized values in the
+    producer's scale is EXACT vs pooling then quantizing."""
+    lo = node.padding // 2
+    hi = node.padding - lo
+    return lax.reduce_window(
+        x, jnp.asarray(jnp.iinfo(jnp.int8).min, jnp.int8), lax.max,
+        window_dimensions=(1, node.size, node.size, 1),
+        window_strides=(1, node.stride, node.stride, 1),
+        padding=((0, 0), (lo, hi), (lo, hi), (0, 0)))
+
+
+def forward_features_int8_carrier(
+        graph: Graph, qparams, tensor_scales: Dict[int, float], x: jax.Array,
+        precision: Optional[str] = "bf16") -> List[jax.Array]:
+    """int8 graph walk with an **int8 activation carrier** (round 2).
+
+    The bf16-carrier walk (:func:`forward_features_int8`) quantizes each
+    eligible conv's input on the fly — a separate VPU pass per conv that
+    DESIGN.md measures at 8–14% of conv time, plus 2-byte activations
+    between every op. Here each eligible conv's epilogue emits int8 in the
+    tensor's own calibrated scale and activations TRAVEL as (int8, scale):
+
+    * conv (eligible): consumes int8 directly (producer scale), MXU
+      int8×int8→int32, fused dequant/bias/activation epilogue, requantizes
+      to its own output scale in-register;
+    * shortcut: widen both operands with their scales, add + activation in
+      f32, requantize — one fused elementwise pass;
+    * route: single-input passes through (scale rides along); multi-input
+      dequantize→concat→requantize fused;
+    * maxpool/upsample: exact on int8 (monotone / copy), scale preserved;
+    * bf16 consumers (no-BN head convs, yolo heads): operand dequantized to
+      the carrier dtype at the use site.
+
+    ``tensor_scales``: node index → calibrated abs-max/127 of that node's
+    OUTPUT (see :func:`calibrate_tensors`). Numerics differ slightly from
+    the bf16 carrier (skip-edge operands are read quantized); accuracy is
+    gated by the same tests/test_quant.py contract.
+    """
+    prec = _PRECISIONS[precision]
+    needed = graph.needed_outputs
+    cons = consumers_of(graph)
+    carrier_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+    def q_friendly(n: Node) -> bool:
+        if n.kind in ("shortcut", "route", "maxpool", "upsample"):
+            return True
+        return (n.kind == "convolutional"
+                and "wq" in qparams.get(n.index, {}))
+
+    def want_q(node: Node) -> bool:
+        """Emit int8 for this node's output?"""
+        if node.index not in tensor_scales:
+            return False
+        cs = cons[node.index]
+        # ALL consumers must read int8 — a mixed edge would silently add a
+        # quantize→dequantize round trip on the bf16 consumer's operand
+        # (accuracy loss for zero traffic gain on that edge)
+        return bool(cs) and all(q_friendly(c) for c in cs)
+
+    # values: ("q", int8 array, scale) or ("f", carrier array)
+    cache: Dict[int, tuple] = {}
+    heads: List[jax.Array] = []
+    prev: tuple = ("f", x.astype(carrier_dtype))
+
+    def as_f(v) -> jax.Array:
+        if v[0] == "f":
+            return v[1]
+        return (v[1].astype(jnp.float32) * v[2]).astype(carrier_dtype)
+
+    for node in graph.nodes:
+        if node.kind == "convolutional":
+            qp = qparams[node.index]
+            if "wq" in qp:
+                if prev[0] == "q":
+                    y = _conv_int8_core(prev[1], node, qp, prev[2],
+                                        prequantized=True)
+                else:
+                    y = _conv_int8_core(as_f(prev), node, qp,
+                                        tensor_scales[node.inputs[0]],
+                                        prequantized=False)
+                y = _activate(y, node.activation)
+                if want_q(node):
+                    out = ("q", _quantize_to(y, tensor_scales[node.index]),
+                           tensor_scales[node.index])
+                else:
+                    out = ("f", y.astype(carrier_dtype))
+            else:
+                out = ("f", _conv_bf16(as_f(prev), node, qp, prec))
+        elif node.kind == "maxpool":
+            if prev[0] == "q":
+                out = ("q", _maxpool_int8(prev[1], node), prev[2])
+            else:
+                out = ("f", _maxpool(prev[1], node))
+        elif node.kind == "upsample":
+            if prev[0] == "q":
+                out = ("q", _upsample_nearest(prev[1], node.stride), prev[2])
+            else:
+                out = ("f", _upsample_nearest(prev[1], node.stride))
+        elif node.kind == "shortcut":
+            a, b = prev, cache[node.inputs[1]]
+            y = (a[1].astype(jnp.float32) * a[2] if a[0] == "q"
+                 else a[1].astype(jnp.float32))
+            y = y + (b[1].astype(jnp.float32) * b[2] if b[0] == "q"
+                     else b[1].astype(jnp.float32))
+            y = _activate(y, node.activation)
+            if want_q(node):
+                s = tensor_scales[node.index]
+                out = ("q", _quantize_to(y, s), s)
+            else:
+                out = ("f", y.astype(carrier_dtype))
+        elif node.kind == "route":
+            srcs = [prev if i == node.index - 1 else cache[i]
+                    for i in node.inputs]
+            if len(srcs) == 1:
+                out = srcs[0]  # scale rides along, no requantize
+            elif want_q(node) and all(v[0] == "q" for v in srcs):
+                s = tensor_scales[node.index]
+                parts = [_quantize_to(v[1].astype(jnp.float32) * v[2], s)
+                         for v in srcs]
+                out = ("q", jnp.concatenate(parts, axis=-1), s)
+            else:
+                out = ("f", jnp.concatenate([as_f(v) for v in srcs],
+                                            axis=-1))
+        elif node.kind == "yolo":
+            heads.append(as_f(prev))
+            out = prev
+        if node.index in needed:
+            cache[node.index] = out
+        prev = out
+    return heads
+
+
 def forward_features_int8(graph: Graph, qparams, scales: Dict[int, float],
                           x: jax.Array, precision: Optional[str] = "bf16",
                           chain: bool = True) -> List[jax.Array]:
@@ -190,14 +338,24 @@ def forward_features_int8(graph: Graph, qparams, scales: Dict[int, float],
 
 def forward_compact_int8(graph: Graph, qparams, scales, x,
                          precision: Optional[str] = "bf16",
-                         decode_impl: str = "xla"):
-    """int8 serving forward → (boxes, scores, classes), compact decode."""
+                         decode_impl: str = "xla",
+                         carrier: str = "bf16"):
+    """int8 serving forward → (boxes, scores, classes), compact decode.
+
+    ``carrier="int8"`` runs the int8-activation-carrier walk (``scales``
+    must then be per-TENSOR scales from :func:`calibrate_tensors`);
+    ``carrier="bf16"`` is the per-conv-input-quantize walk (``scales`` from
+    :func:`calibrate`)."""
     if decode_impl == "pallas":
         from .ops.pallas_decode import decode_compact_pallas as _decode
     else:
         from .ops.decode import decode_compact as _decode
 
-    heads = forward_features_int8(graph, qparams, scales, x, precision)
+    if carrier == "int8":
+        heads = forward_features_int8_carrier(graph, qparams, scales, x,
+                                              precision)
+    else:
+        heads = forward_features_int8(graph, qparams, scales, x, precision)
     yolo_nodes = graph.yolo_nodes
     return _decode(
         heads, [n.anchors for n in yolo_nodes], list(graph.head_strides()),
@@ -254,3 +412,52 @@ def calibrate(graph: Graph, params, batches, precision: Optional[str] = "bf16"
         for i in indices:
             agg[i] = max(agg[i], float(maxima[i]))
     return {i: max(agg[i], 1e-6) / 127.0 for i in indices}
+
+
+def calibrate_tensors(graph: Graph, params, batches,
+                      precision: Optional[str] = "bf16") -> Dict[int, float]:
+    """Per-TENSOR calibration for the int8 activation carrier: run the
+    fp/bf16 graph over calibration batches recording the abs-max of EVERY
+    node's output; returns {node index: scale}. A conv's input scale is its
+    input tensor's scale, so this is a superset of :func:`calibrate`'s
+    per-conv-input view (the input of conv i IS the output of node
+    ``inputs[0]``)."""
+
+    def absmax_pass(params, x):
+        prec = _PRECISIONS[precision]
+        needed = graph.needed_outputs
+        cache: Dict[int, jax.Array] = {}
+        maxima = {}
+        prev = x.astype(jnp.bfloat16) if precision == "bf16" else x
+        for node in graph.nodes:
+            if node.kind == "convolutional":
+                qp = {"w": params[node.index]["w"],
+                      "b": params[node.index]["b"]}
+                out = _conv_bf16(prev, node, qp, prec)
+            elif node.kind == "maxpool":
+                out = _maxpool(prev, node)
+            elif node.kind == "upsample":
+                out = _upsample_nearest(prev, node.stride)
+            elif node.kind == "shortcut":
+                out = _activate(prev + cache[node.inputs[1]],
+                                node.activation)
+            elif node.kind == "route":
+                srcs = [prev if i == node.index - 1 else cache[i]
+                        for i in node.inputs]
+                out = (srcs[0] if len(srcs) == 1
+                       else jnp.concatenate(srcs, axis=-1))
+            else:
+                out = prev
+            maxima[node.index] = jnp.max(jnp.abs(out.astype(jnp.float32)))
+            if node.index in needed:
+                cache[node.index] = out
+            prev = out
+        return maxima
+
+    run = jax.jit(absmax_pass)
+    agg: Dict[int, float] = {}
+    for x in batches:
+        maxima = run(params, jnp.asarray(x))
+        for i, m in maxima.items():
+            agg[i] = max(agg.get(i, 0.0), float(m))
+    return {i: max(m, 1e-6) / 127.0 for i, m in agg.items()}
