@@ -30,8 +30,8 @@ def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
     import jax
     import jax.numpy as jnp
 
-    from yolov3_tpu.model import forward_compact
-    from yolov3_tpu.ops.nms import batched_nms_compact
+    from yolov3_tpu.model import forward_packed
+    from yolov3_tpu.ops.nms import batched_nms_packed
     from yolov3_tpu.ops.preprocess import preprocess
 
     net_hw = (frames.shape[1], frames.shape[2])
@@ -39,11 +39,10 @@ def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
     @jax.jit
     def run(params, frames_u8):
         x = preprocess(frames_u8[..., ::-1], net_hw)
-        boxes, scores, classes = forward_compact(graph, params, x,
-                                                 precision=precision,
-                                                 decode_impl="pallas")
-        res = batched_nms_compact(boxes, scores, classes,
-                                  prob_thresh=prob_thresh)
+        payload, scores = forward_packed(graph, params, x,
+                                         prob_thresh=prob_thresh,
+                                         precision=precision)
+        res = batched_nms_packed(payload, scores)
         # reduce to scalars ON DEVICE: fetching full NMS buffers through this
         # environment's TPU relay runs at ~150 KB/s (a tunnel artifact, not
         # chip D2H) and would swamp the measurement; completion of these
@@ -74,9 +73,9 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05):
     import jax
     import jax.numpy as jnp
 
-    from yolov3_tpu.ops.nms import batched_nms_compact
+    from yolov3_tpu.ops.nms import batched_nms_packed
     from yolov3_tpu.ops.preprocess import preprocess
-    from yolov3_tpu.quant import (calibrate_tensors, forward_compact_int8,
+    from yolov3_tpu.quant import (calibrate_tensors, forward_packed_int8,
                                   quantize_weights)
 
     net_hw = (frames.shape[1], frames.shape[2])
@@ -90,11 +89,10 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05):
     @jax.jit
     def run(qparams, frames_u8):
         x = preprocess(frames_u8[..., ::-1], net_hw)
-        boxes, scores, classes = forward_compact_int8(
-            graph, qparams, scales, x, precision="bf16",
-            decode_impl="pallas", carrier="int8")
-        res = batched_nms_compact(boxes, scores, classes,
-                                  prob_thresh=prob_thresh)
+        payload, scores = forward_packed_int8(
+            graph, qparams, scales, x, prob_thresh=prob_thresh,
+            precision="bf16", carrier="int8")
+        res = batched_nms_packed(payload, scores)
         return jnp.sum(res.scores), jnp.sum(res.valid)
 
     rng = np.random.default_rng(7)

@@ -325,3 +325,32 @@ def test_nms_compact_pairmax_equals_topk_end_to_end():
     np.testing.assert_array_equal(np.asarray(a.scores), np.asarray(b.scores))
     np.testing.assert_array_equal(np.asarray(a.boxes), np.asarray(b.boxes))
     np.testing.assert_array_equal(np.asarray(a.classes), np.asarray(b.classes))
+
+
+def test_packed_path_equals_compact_path():
+    """forward_packed + batched_nms_packed ≡ forward_compact +
+    batched_nms_compact (the fused decode→selection serving fast path),
+    bit-for-bit, across thresholds including ones that filter heavily."""
+    from yolov3_tpu.graph import load_graph
+    from yolov3_tpu.model import forward_compact, forward_packed
+    from yolov3_tpu.ops.nms import batched_nms_compact, batched_nms_packed
+    from yolov3_tpu.weights import fold_raw, random_raw
+    import jax.numpy as jnp
+    from pathlib import Path
+
+    repo = Path(__file__).parent.parent
+    g = load_graph(repo / "models" / "yolov3-tiny.cfg")
+    params = {k: {n: jnp.asarray(v) for n, v in p.items()}
+              for k, p in fold_raw(random_raw(g, seed=3)).items()}
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 416, 416, 3)).astype(np.float32))
+    bx, sc, cl = forward_compact(g, params, x, decode_impl="pallas")
+    for thresh in (0.3, 0.62):  # 0.62: most candidates masked out
+        ref = batched_nms_compact(bx, sc, cl, prob_thresh=thresh,
+                                  iou_thresh=0.4)
+        payload, scores = forward_packed(g, params, x, prob_thresh=thresh)
+        out = batched_nms_packed(payload, scores, iou_thresh=0.4)
+        for name in ("valid", "scores", "boxes", "classes"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ref, name)),
+                np.asarray(getattr(out, name)), err_msg=f"{name}@{thresh}")

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from .model import Darknet, forward_compact
-from .ops.nms import batched_nms_compact
+from .ops.nms import batched_nms_compact, batched_nms_packed
 from .ops.preprocess import preprocess
 from .utils.boxes import unletterbox_tlbr, unstretch_tlbr
 
@@ -155,6 +155,18 @@ class Detector:
                 if bgr:
                     frames_u8 = frames_u8[..., ::-1]
                 x = preprocess(frames_u8, net_hw, mode=mode)
+                if decode_impl == "pallas":
+                    # fused packed path: candidate records emitted by the
+                    # decode kernel, zero relayouts before NMS selection
+                    from .quant import forward_packed_int8
+
+                    payload, scores = forward_packed_int8(
+                        graph, qparams, act_scales, x, prob_thresh=prob,
+                        precision=precision or "bf16", carrier=carrier)
+                    return batched_nms_packed(payload, scores,
+                                              iou_thresh=iou, top_k=top_k,
+                                              impl=nms_impl,
+                                              max_results=max_results)
                 boxes, scores, classes = forward_compact_int8(
                     graph, qparams, act_scales, x,
                     precision=precision or "bf16", decode_impl=decode_impl,
@@ -173,6 +185,20 @@ class Detector:
             if bgr:
                 frames_u8 = frames_u8[..., ::-1]  # BGR→RGB on device
             x = preprocess(frames_u8, net_hw, mode=mode)
+            if decode_impl == "pallas":
+                # fused packed path: decode kernel emits the candidate
+                # records + thresholded scores; NMS selection consumes them
+                # with zero relayouts (ops/pallas_decode.py,
+                # nms.batched_nms_packed)
+                from .model import forward_packed
+
+                payload, scores = forward_packed(graph, params, x,
+                                                 prob_thresh=prob,
+                                                 precision=precision,
+                                                 conv_impl=conv_impl)
+                return batched_nms_packed(payload, scores, iou_thresh=iou,
+                                          top_k=top_k, impl=nms_impl,
+                                          max_results=max_results)
             # compact path: decode + score/class reduction fuse with the
             # heads; the (B, N, 5+C) tensor never reaches HBM
             boxes, scores, classes = forward_compact(graph, params, x,

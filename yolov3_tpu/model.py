@@ -189,6 +189,29 @@ def forward_compact(
     )
 
 
+def forward_packed(
+    graph: Graph,
+    params: Dict[int, Dict[str, jax.Array]],
+    x: jax.Array,
+    prob_thresh: float,
+    precision: Optional[str] = None,
+    conv_impl: str = "xla",
+):
+    """Fused serving forward → (payload (B, N, 8), scores (B, N)) for
+    ``ops.nms.batched_nms_packed``: decode, score threshold, and the
+    candidate record (boxes/score/class/index) all emitted by the Pallas
+    decode kernel — no per-plane relayouts between decode and NMS
+    selection. ``prob_thresh`` must be the serving threshold (the NMS
+    applies none on this path)."""
+    from .ops.pallas_decode import decode_packed_pallas
+
+    heads = forward_features(graph, params, x, precision, conv_impl)
+    yolo_nodes = graph.yolo_nodes
+    return decode_packed_pallas(
+        heads, [n.anchors for n in yolo_nodes], list(graph.head_strides()),
+        yolo_nodes[0].classes, prob_thresh=prob_thresh)
+
+
 class Darknet:
     """Thin stateful wrapper mirroring the reference's ``Darknet`` API
     (``yolov3/darknet.py::Darknet``, SURVEY.md §2.4): construct from a cfg

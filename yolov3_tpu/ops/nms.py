@@ -163,12 +163,23 @@ def _select_pairmax(boxes: jax.Array, masked: jax.Array, classes: jax.Array,
     lax.top_k bit-for-bit, tie-heavy cases included (tests/test_nms.py).
     """
     b, n = masked.shape
-    np2 = (n + 1) // 2 * 2
     iota = lax.broadcasted_iota(jnp.float32, (b, n), 1)  # < 2^24: exact f32
     # packed per-candidate payload: one gather moves everything
     payload = jnp.concatenate(
         [boxes, masked[..., None], classes.astype(jnp.float32)[..., None],
          iota[..., None], jnp.zeros((b, n, 1), jnp.float32)], axis=-1)
+    return _select_pairmax_payload(payload, masked, k)
+
+
+def _select_pairmax_payload(payload: jax.Array, masked: jax.Array, k: int):
+    """Pair-max selection over a prebuilt candidate payload (B, N, 8) with
+    lanes [x0, y0, x1, y1, thresholded score, class, candidate index, –].
+
+    CONTRACT: lane 4 must equal ``masked`` (score already thresholded —
+    the fused decode kernel zeroes it in-kernel); an unthresholded lane 4
+    would let sub-threshold candidates through the final sort as valid."""
+    b, n = masked.shape
+    np2 = (n + 1) // 2 * 2
     if np2 != n:
         payload = jnp.pad(payload, ((0, 0), (0, np2 - n), (0, 0)))
         masked = jnp.pad(masked, ((0, 0), (0, np2 - n)))
@@ -287,6 +298,29 @@ def batched_nms_compact(boxes: jax.Array, scores: jax.Array,
         top_classes = jnp.take_along_axis(classes, top_i, axis=1)
     else:
         raise ValueError(f"unknown select_impl {select_impl!r}")
+    res = _suppress_batch(top_boxes, top_scores, top_classes, valid,
+                          iou_thresh, impl, interpret)
+    if max_results and max_results < k:
+        res = compact_results(res, max_results)
+    return res
+
+
+@partial(jax.jit, static_argnames=("iou_thresh", "top_k", "impl",
+                                   "interpret", "max_results"))
+def batched_nms_packed(payload: jax.Array, scores: jax.Array,
+                       iou_thresh: float = 0.3, top_k: int = 512,
+                       impl: str = "xla", interpret: bool = False,
+                       max_results: int = 0) -> NMSResult:
+    """NMS over the fused packed decode output (serving fast path):
+    ``payload`` (B, N, 8) candidate records and ``scores`` (B, N) from
+    ``ops.pallas_decode.decode_packed_pallas`` — **already thresholded
+    in-kernel** (pass the serving ``prob_thresh`` to the decode; this
+    function applies none). Results are identical to
+    :func:`batched_nms_compact` at the same threshold; the payload's
+    in-kernel candidate-index lane replaces the iota/concat build."""
+    k = min(top_k, scores.shape[1])
+    top_boxes, top_scores, top_classes, valid = _select_pairmax_payload(
+        payload, scores, k)
     res = _suppress_batch(top_boxes, top_scores, top_classes, valid,
                           iou_thresh, impl, interpret)
     if max_results and max_results < k:

@@ -138,7 +138,8 @@ def decode_head_pallas(
 
 
 def _decode_compact_kernel(f_ref, o_ref, *, gx, gy, n_rows, rows_tile,
-                           anchors, stride, num_classes, prob_thresh):
+                           anchors, stride, num_classes, prob_thresh,
+                           head_offset=None):
     """Fused compact decode of one row-tile of grid cells.
 
     Consumes the head map in its NATIVE lane layout — (cells, A·(5+C) pad
@@ -188,10 +189,99 @@ def _decode_compact_kernel(f_ref, o_ref, *, gx, gy, n_rows, rows_tile,
         score = jax.nn.sigmoid(obj) * jax.nn.sigmoid(m)
         score = jnp.where((score >= prob_thresh) & valid, score, 0.0)
 
+        if head_offset is None:
+            cand = score * 0  # spare lane
+        else:
+            # global candidate index (anchor-major across heads): the sort
+            # tie-break key of the packed-payload selection path; exact in
+            # f32 (N < 2^24 for every supported resolution)
+            cand = (cell.astype(jnp.float32)
+                    + jnp.float32(head_offset + ai * gx * gy))
+            cand = jnp.broadcast_to(cand, score.shape)
         outs.extend([cx - w * 0.5, cy - h * 0.5, cx + w * 0.5, cy + h * 0.5,
-                     score, idx, score * 0, score * 0])  # 8 rows per anchor
+                     score, idx, cand, score * 0])  # 8 rows per anchor
     outs.extend([outs[4] * 0] * (o_ref.shape[0] - len(outs)))
     o_ref[:] = jnp.concatenate(outs, axis=0)
+
+
+def decode_packed_head_pallas(
+    feat: jax.Array,
+    anchors: Tuple[Tuple[float, float], ...],
+    stride: int,
+    num_classes: int,
+    prob_thresh: float = 0.0,
+    head_offset: int = 0,
+    rows_tile: int = 4096,
+    interpret: bool = False,
+):
+    """Packed-payload variant of :func:`decode_compact_head_pallas`:
+    → (payload (B, a·g², 8) f32, scores (B, a·g²) f32).
+
+    Payload lanes are exactly the candidate record the pair-max NMS
+    selection consumes (ops/nms.py::_select_pairmax): [x0, y0, x1, y1,
+    thresholded score, class, global candidate index, 0]. The index rides
+    lane 6 straight from the kernel (``head_offset`` + anchor-major local
+    index), so the selection needs NO per-plane gathers, payload concat, or
+    iota — one (g², A) transpose per head builds the whole record."""
+    b, gy, gx, c = feat.shape
+    a = len(anchors)
+    per = 5 + num_classes
+    assert c == a * per
+    interpret = interpret or jax.default_backend() == "cpu"
+    c_pad = ((c + LANES - 1) // LANES) * LANES
+
+    n_rows = b * gy * gx
+    rows_tile = min(rows_tile, ((n_rows + 127) // 128) * 128)
+    n_rows_pad = ((n_rows + rows_tile - 1) // rows_tile) * rows_tile
+    flat = feat.reshape(n_rows, c)
+    flat = jnp.pad(flat, ((0, n_rows_pad - n_rows), (0, c_pad - c)))
+
+    kernel = partial(_decode_compact_kernel, gx=gx, gy=gy, n_rows=n_rows,
+                     rows_tile=rows_tile, anchors=tuple(anchors),
+                     stride=stride, num_classes=num_classes,
+                     prob_thresh=float(prob_thresh),
+                     head_offset=int(head_offset))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((32, n_rows_pad), jnp.float32),
+        grid=(n_rows_pad // rows_tile,),
+        in_specs=[pl.BlockSpec((rows_tile, c_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((32, rows_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(flat)
+
+    recs = out[:, :n_rows]                     # (32, B·g²)
+    # (B·g², 32) → (B, g², 4, 8) → anchor-major (B, 4, g², 8): ONE transpose
+    payload = (recs.T.reshape(b, gy * gx, 4, 8).transpose(0, 2, 1, 3)
+               .reshape(b, 4 * gy * gx, 8)[:, :a * gy * gx])
+    scores = jnp.stack([out[8 * ai + 4, :n_rows] for ai in range(a)])
+    scores = scores.reshape(a, b, gy * gx).transpose(1, 0, 2).reshape(b, -1)
+    return payload, scores
+
+
+def decode_packed_pallas(
+    feats: Sequence[jax.Array],
+    anchors_per_head,
+    strides: Sequence[int],
+    num_classes: int,
+    prob_thresh: float = 0.0,
+    interpret: bool = False,
+):
+    """Packed decode of every head → (payload (B, N, 8), scores (B, N)),
+    candidate order identical to :func:`decode_compact_pallas` and encoded
+    in payload lane 6 for exact selection tie-breaks."""
+    parts = []
+    off = 0
+    for f, a, s in zip(feats, anchors_per_head, strides):
+        parts.append(decode_packed_head_pallas(
+            f, a, s, num_classes, prob_thresh=prob_thresh, head_offset=off,
+            interpret=interpret))
+        off += len(a) * f.shape[1] * f.shape[2]
+    payload = jnp.concatenate([p[0] for p in parts], axis=1)
+    scores = jnp.concatenate([p[1] for p in parts], axis=1)
+    return payload, scores
 
 
 def decode_compact_head_pallas(

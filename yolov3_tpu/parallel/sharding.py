@@ -82,6 +82,27 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
         if bgr:
             frames_u8 = frames_u8[..., ::-1]
         x = preprocess(frames_u8, net_hw, mode=mode)
+        if decode_impl == "pallas":
+            # fused packed path (see inference.py): per-chip local, so it
+            # shards over batch exactly like the compact path
+            from ..ops.nms import batched_nms_packed
+
+            if act_scales is not None:
+                from ..quant import forward_packed_int8
+
+                payload, scores = forward_packed_int8(
+                    graph, params, act_scales, x, prob_thresh=prob_thresh,
+                    precision=precision or "bf16", carrier=carrier)
+            else:
+                from ..model import forward_packed
+
+                payload, scores = forward_packed(graph, params, x,
+                                                 prob_thresh=prob_thresh,
+                                                 precision=precision,
+                                                 conv_impl=conv_impl)
+            return batched_nms_packed(payload, scores,
+                                      iou_thresh=iou_thresh, top_k=top_k,
+                                      impl=nms_impl, max_results=max_results)
         if act_scales is not None:
             from ..quant import forward_compact_int8
 

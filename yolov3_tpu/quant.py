@@ -236,7 +236,17 @@ def forward_features_int8_carrier(
                 else:
                     out = ("f", y.astype(carrier_dtype))
             else:
-                out = ("f", _conv_bf16(as_f(prev), node, qp, prec))
+                y = _conv_bf16(as_f(prev), node, qp, prec)
+                if want_q(node):
+                    # int8-ineligible conv whose consumers all read int8
+                    # (conv0: Cin=3 keeps the CONV bf16, but its sole
+                    # consumer is quantized): quantize in the epilogue —
+                    # skips the consumer-side quantize pass AND the bf16
+                    # rounding, and halves the activation's HBM traffic
+                    s = tensor_scales[node.index]
+                    out = ("q", _quantize_to(y, s), s)
+                else:
+                    out = ("f", y)
         elif node.kind == "maxpool":
             if prev[0] == "q":
                 out = ("q", _maxpool_int8(prev[1], node), prev[2])
@@ -360,6 +370,24 @@ def forward_compact_int8(graph: Graph, qparams, scales, x,
     return _decode(
         heads, [n.anchors for n in yolo_nodes], list(graph.head_strides()),
         yolo_nodes[0].classes)
+
+
+def forward_packed_int8(graph: Graph, qparams, scales, x, prob_thresh: float,
+                        precision: Optional[str] = "bf16",
+                        carrier: str = "bf16"):
+    """int8 serving forward → (payload (B, N, 8), scores (B, N)) for
+    ``ops.nms.batched_nms_packed`` (see ``model.forward_packed``)."""
+    from .ops.pallas_decode import decode_packed_pallas
+
+    if carrier == "int8":
+        heads = forward_features_int8_carrier(graph, qparams, scales, x,
+                                              precision)
+    else:
+        heads = forward_features_int8(graph, qparams, scales, x, precision)
+    yolo_nodes = graph.yolo_nodes
+    return decode_packed_pallas(
+        heads, [n.anchors for n in yolo_nodes], list(graph.head_strides()),
+        yolo_nodes[0].classes, prob_thresh=prob_thresh)
 
 
 def calibrate(graph: Graph, params, batches, precision: Optional[str] = "bf16"
