@@ -101,6 +101,33 @@ def test_pallas_conv_roll_variant_matches_xla(rng, shape):
                                atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("shape", [
+    (2, 8, 10, 128, 256),
+    (1, 19, 19, 256, 128),
+    (1, 38, 38, 128, 64),   # divisor row tile (th=38 path) + tc=64
+])
+def test_pallas_conv_roll2_variant_matches_xla(rng, shape):
+    """Interpret-mode coverage for the PRODUCTION conv_impl='pallas' kernel
+    (round-2 review: roll2 had on-chip validation but no CPU test, so its
+    DMA double-buffering/tap-cache logic never ran in the suite)."""
+    from jax import lax
+
+    from yolov3_tpu.ops.pallas_conv import conv3x3_fused_roll2
+
+    b_, h, w_dim, ci, co = shape
+    x = jnp.asarray(rng.normal(0, 1, (b_, h, w_dim, ci)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.1, (3, 3, ci, co)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.1, (co,)).astype(np.float32))
+    ref = lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST) + bias
+    ref = jnp.where(ref > 0, ref, 0.1 * ref)
+    out = conv3x3_fused_roll2(x, w, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
 def test_pallas_conv_linear_activation(rng):
     from jax import lax
 

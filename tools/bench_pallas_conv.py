@@ -56,15 +56,20 @@ def timeit_scanned(fn, x, w, bias, reps=3, lens=(8, 40)):
     timing is RTT, not kernel time; the difference between two scan
     lengths cancels it exactly. A data dependency between iterations
     stops the compiler from hoisting/deduping the op."""
-    cin = x.shape[-1]
 
     def many_fn(scan_len):
         @jax.jit
         def many(x, w, bias):
             def body(carry, _):
                 y = fn(carry, w, bias)
-                # zero-valued dependency on y, same shape/dtype as x
-                carry = carry + (y[0:1, 0:1, 0:1, :cin] * 0).astype(carry.dtype)
+                # the dependency must consume EVERY output element with a
+                # non-zero weight: a sliced consumer lets XLA push the
+                # slice through the conv and compute a fraction of it
+                # (observed: 4800 "TF/s"), and a *0 term is foldable in
+                # principle — so reduce the whole tensor and scale by a
+                # numerically-negligible constant
+                dep = jnp.sum(y.astype(jnp.float32)) * jnp.float32(1e-24)
+                carry = carry + dep.astype(carry.dtype)
                 return carry, ()
             out, _ = jax.lax.scan(body, x, None, length=scan_len)
             return jnp.sum(out.astype(jnp.float32))

@@ -89,12 +89,14 @@ def stage_sort1(scores, boxes, classes, k):
 
 
 def dep_carry(carry, out):
-    # consume EVERY output with a non-zero (but numerically negligible)
-    # term: a *0 term constant-folds and the op under test gets DCE'd
-    # (CLAUDE.md) — negative readings below mean the dep failed
+    # consume EVERY ELEMENT of every output with a non-zero (numerically
+    # negligible) weight: a *0 term constant-folds, and a SLICED consumer
+    # lets XLA push the slice through the op under test and compute only a
+    # fraction of it (a top_k whose consumer takes column 0 simplifies to
+    # an argmax) — negative/over-peak readings mean the dep failed
     acc = jnp.float32(0)
     for o in out:
-        acc = acc + jnp.sum(o[:, :1].astype(jnp.float32))
+        acc = acc + jnp.sum(o.astype(jnp.float32))
     return carry + (acc * jnp.float32(1e-24)).astype(carry.dtype)
 
 

@@ -150,12 +150,16 @@ def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
     # prob_thresh=0.005 dense scenes with trained weights can exceed 512
     # candidates, and NMS truncates to the top-K by score (exact-top-K
     # truncation is tested in tests/test_nms.py) — a too-small K silently
-    # drops low-score tails and skews mAP. Raise --top-k further if the
-    # reported truncation count is nonzero.
+    # drops low-score tails and skews mAP. Saturation signal: an image
+    # whose SURVIVOR count reaches top_k had >= top_k candidates pass the
+    # threshold (sufficient, not necessary — suppression usually shrinks
+    # the set well below K first); such images are counted and reported as
+    # `saturated_images`, and a nonzero count means --top-k must be raised.
     det = Detector(net, prob_thresh=prob_thresh, iou_thresh=iou_thresh,
                    top_k=top_k, max_results=0)
 
     detections = {}
+    saturated = [0]
     frames, metas = [], []
 
     def flush():
@@ -163,6 +167,8 @@ def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
             return
         results = det.detect_mixed(frames)
         for (img_id,), r in zip(metas, results):
+            if len(r.bbox_tlbr) >= top_k:
+                saturated[0] += 1
             by_cls = defaultdict(lambda: ([], []))
             for box, score, cls in zip(r.bbox_tlbr, r.class_prob, r.class_idx):
                 by_cls[int(cls)][0].append(box)
@@ -185,7 +191,12 @@ def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
 
     gt_np = {img: {c: np.asarray(b) for c, b in cls.items()}
              for img, cls in gt.items()}
-    return evaluate(detections, gt_np)
+    out = evaluate(detections, gt_np)
+    out["saturated_images"] = saturated[0]
+    if saturated[0]:
+        print(f"WARNING: {saturated[0]} image(s) hit the top_k={top_k} "
+              f"candidate cap — raise --top-k and re-run", flush=True)
+    return out
 
 
 def main():
@@ -201,8 +212,8 @@ def main():
     ap.add_argument("--precision", default=None)
     ap.add_argument("--top-k", type=int, default=1024,
                     help="NMS candidate cap per image; candidates beyond the "
-                         "top-K by score are truncated (raise at very low "
-                         "--prob-thresh on dense scenes)")
+                         "top-K by score are truncated (raise whenever the "
+                         "reported saturated_images count is nonzero)")
     args = ap.parse_args()
 
     res = run_model_on_coco(args.images, args.annotations, args.config,

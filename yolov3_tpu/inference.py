@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import logging
 import time
+from collections import OrderedDict
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -377,8 +378,11 @@ class PipelinedDetector:
 # process-level Detector cache for the one-shot API: calling inference() in
 # a loop (the reference's own usage pattern, SURVEY.md §3.2) must not
 # recompile per call (VERDICT.md round-1 weak #7). Entries hold a strong ref
-# to their net, so id() keys cannot be recycled while cached.
-_ONESHOT_DETECTORS: Dict[Tuple, "Detector"] = {}
+# to their net, so id() keys cannot be recycled while cached. LRU-bounded
+# (round-2 review): each entry pins a full param set plus executables, so a
+# threshold sweep through this API must evict, not grow without bound.
+_ONESHOT_DETECTORS: "OrderedDict[Tuple, Detector]" = OrderedDict()
+_ONESHOT_CAPACITY = 8
 
 
 def inference(net: Darknet, images, prob_thresh: float = 0.05,
@@ -397,6 +401,10 @@ def inference(net: Darknet, images, prob_thresh: float = 0.05,
         det = Detector(net, prob_thresh=prob_thresh,
                        iou_thresh=nms_iou_thresh, resize_mode=resize_mode)
         _ONESHOT_DETECTORS[key] = det
+        while len(_ONESHOT_DETECTORS) > _ONESHOT_CAPACITY:
+            _ONESHOT_DETECTORS.popitem(last=False)
+    else:
+        _ONESHOT_DETECTORS.move_to_end(key)
     results = det.detect_batch(np.asarray(images))
     return [(r.bbox_tlbr, r.class_prob, r.class_idx) for r in results]
 

@@ -46,8 +46,9 @@ def _conv(x: jax.Array, w: jax.Array, b: jax.Array, node: Node,
     if conv_impl == "pallas":
         # pipelined roll variant: slab reused across cout tiles, DMA
         # double-buffered across grid steps, divisor row tiles
-        # (tools/bench_pallas_conv.py; 0.85-1.06x XLA's conv, which runs at
-        # 86-97% of v5e bf16 peak on these shapes)
+        # (tools/bench_pallas_conv.py; 0.68-0.79x XLA's conv at b128 under
+        # the hardened round-2 harness - XLA's conv runs at 150-198 TF/s,
+        # 76-100% of v5e bf16 peak, on these shapes)
         from .ops.pallas_conv import conv3x3_fused_roll2, supported
 
         if node.pad and supported(node.size, node.stride, w.shape[2],

@@ -187,7 +187,7 @@ def conv3x3_fused_roll(x: jax.Array, w_hwio: jax.Array, b: jax.Array,
 
 
 def _pick_tiles2(h: int, ws: int, w8: int, c_in: int, c_out: int,
-                 itemsize: int, slab_buffers: int = 4):
+                 itemsize: int, slab_buffers: int = 5):
     """Tile picker for the pipelined roll variant.
 
     Unlike :func:`_pick_tiles` it also tries divisor row tiles (th = h,
@@ -296,7 +296,9 @@ def conv3x3_fused_roll2(x: jax.Array, w_hwio: jax.Array, b: jax.Array,
     c_out = w_hwio.shape[3]
     w8 = _round_up(w_dim, 8)
     ws = _round_up(w8 + 2, 8)  # slab width: halo included, sublane-aligned
-    # resident slab-sized buffers: 2 DMA slots + 2 rolled tap caches
+    # resident slab-sized buffers: 2 DMA slots + the 3*c_in-wide tap cache
+    # (= 3 slab equivalents) — 5 total (round-2 review: the old default of
+    # 4 understated VMEM by one slab)
     th, tc = _pick_tiles2(h, ws, w8, c_in, c_out, x.dtype.itemsize)
     hp = _round_up(h, th)
     nh, nt = hp // th, batch * (hp // th)

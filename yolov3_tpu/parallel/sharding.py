@@ -26,6 +26,11 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+try:  # moved between jax versions
+    from jax.experimental.shard_map import shard_map
+except ImportError:  # pragma: no cover - newer jax
+    from jax import shard_map
+
 DATA_AXIS = "data"
 
 
@@ -119,8 +124,23 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
                                    iou_thresh=iou_thresh, top_k=top_k,
                                    impl=nms_impl, max_results=max_results)
 
+    # shard_map, not bare GSPMD propagation: the serving fast path embeds
+    # Pallas kernels (decode) that lower to custom calls with no SPMD
+    # partitioning rule — under plain jit+NamedSharding, GSPMD would have
+    # to replicate them (all-gathering the batch-sharded heads onto every
+    # chip), silently breaking the zero-collective DP contract on real
+    # multi-chip meshes (round-2 review). shard_map runs the WHOLE step
+    # per-shard on its local batch slice, so every op — XLA or Mosaic — is
+    # chip-local by construction and the only cross-chip traffic is the
+    # input scatter.
+    mapped = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_rep=False,
+    )
     return jax.jit(
-        step,
+        mapped,
         in_shardings=(replicate(mesh), data_in),
         out_shardings=jax.tree.map(lambda _: out_spec, _nms_result_struct()),
     )

@@ -25,6 +25,7 @@ Two modes:
 from __future__ import annotations
 
 import json
+import os
 import queue as queue_mod
 import signal
 import threading
@@ -173,6 +174,12 @@ def make_handler(detector, class_names, stats: _Stats,
     import cv2
 
     class Handler(BaseHTTPRequestHandler):
+        # per-connection socket timeout: a client that opens a request and
+        # never sends the body would otherwise pin a (non-daemon) handler
+        # thread forever, which server_close() then joins indefinitely and
+        # the graceful drain can never finish (round-2 review)
+        timeout = 30
+
         def log_message(self, fmt, *args):  # route through logging, not stderr
             import logging
 
@@ -383,8 +390,14 @@ def main(argv=None):
         # ^C in a terminal raises here as well; drain the same way
         shutdown_gracefully(server)
         drained.set()
-    drained.wait(timeout=120)
-    print("drained: all accepted requests answered")
+    if drained.wait(timeout=120):
+        print("drained: all accepted requests answered")
+    else:
+        # do NOT claim a clean drain that didn't happen; stuck non-daemon
+        # handler threads would also block normal interpreter exit
+        print("drain TIMED OUT after 120s: exiting with in-flight requests "
+              "unanswered", flush=True)
+        os._exit(1)
 
 
 if __name__ == "__main__":
