@@ -354,3 +354,31 @@ def test_packed_path_equals_compact_path():
             np.testing.assert_array_equal(
                 np.asarray(getattr(ref, name)),
                 np.asarray(getattr(out, name)), err_msg=f"{name}@{thresh}")
+
+
+def test_packed_max_results_matches_compact():
+    """batched_nms_packed with max_results compaction ≡ compact path."""
+    from yolov3_tpu.ops.nms import batched_nms_compact, batched_nms_packed
+
+    rng = np.random.default_rng(73)
+    n, thresh = 3000, 0.25
+    det = random_detections(rng, n=n, classes=10)
+    boxes = jnp.asarray(cxywh_to_tlbr(det[None, :, :4]))
+    scores_raw = (det[:, 4] * det[:, 5:].max(1))[None]
+    classes = jnp.asarray(det[:, 5:].argmax(1).astype(np.int32)[None])
+    # packed contract: payload lane 4 / scores already thresholded
+    masked = np.where(scores_raw >= thresh, scores_raw, 0.0).astype(np.float32)
+    iota = np.broadcast_to(np.arange(n, dtype=np.float32), (1, n))
+    payload = jnp.asarray(np.concatenate(
+        [np.asarray(boxes), masked[..., None],
+         det[:, 5:].argmax(1).astype(np.float32)[None, :, None],
+         iota[..., None], np.zeros((1, n, 1), np.float32)], axis=-1))
+    ref = batched_nms_compact(boxes, jnp.asarray(scores_raw), classes,
+                              prob_thresh=thresh, iou_thresh=0.45,
+                              top_k=256, max_results=32)
+    out = batched_nms_packed(payload, jnp.asarray(masked), iou_thresh=0.45,
+                             top_k=256, max_results=32)
+    for name in ("valid", "scores", "boxes", "classes"):
+        np.testing.assert_array_equal(np.asarray(getattr(ref, name)),
+                                      np.asarray(getattr(out, name)),
+                                      err_msg=name)
