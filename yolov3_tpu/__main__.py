@@ -141,10 +141,17 @@ def main(argv=None) -> int:
         import cv2
 
         calib = []
-        for p_img in sorted(Path(args.quantize_int8).iterdir())[:32]:
+        # filter-then-cap, not cap-then-filter: a directory whose listing
+        # leads with non-image files (labels/, README, sidecars) must not
+        # crowd out the 32 calibration images (round-2 review)
+        for p_img in sorted(Path(args.quantize_int8).iterdir()):
+            if not p_img.is_file():
+                continue
             frame = cv2.imread(str(p_img))
             if frame is not None:
                 calib.append(frame[..., ::-1])  # BGR→RGB, native size
+            if len(calib) >= 32:
+                break
         if not calib:
             raise SystemExit(f"no readable calibration images in "
                              f"{args.quantize_int8}")

@@ -88,7 +88,12 @@ class Detector:
             self.net.params = shard_params(self.net.params, mesh)
             if self.net.quantized:
                 self.net.qparams = shard_params(self.net.qparams, mesh)
-        self._pipelines: Dict[Tuple, callable] = {}
+        # LRU-bounded: quantized entries close over their qparams, so an
+        # unbounded cache would pin every superseded int8 param set across
+        # re-quantizations (round-2 review); 16 covers realistic
+        # (batch, shape) working sets with headroom
+        self._pipelines: "OrderedDict[Tuple, callable]" = OrderedDict()
+        self._pipeline_capacity = 16
 
     def _pipeline(self, batch: int, src_hw: Tuple[int, int],
                   bgr: Optional[bool] = None):
@@ -102,6 +107,7 @@ class Detector:
         qstate = id(self.net.qparams) if self.net.quantized else None
         key = (batch, src_hw, bgr, qstate)
         if key in self._pipelines:
+            self._pipelines.move_to_end(key)
             return self._pipelines[key]
         log.info("compiling pipeline: batch=%d src=%s net=%s mode=%s "
                  "precision=%s", batch, src_hw, self.net_hw, self.resize_mode,
@@ -115,6 +121,13 @@ class Detector:
         conv_impl = self.net.conv_impl
         nms_impl = self.nms_impl
         decode_impl = self.decode_impl
+        if decode_impl == "pallas":
+            from .ops.pallas_decode import supported as _pallas_decode_ok
+
+            if not _pallas_decode_ok([n.anchors for n in graph.yolo_nodes]):
+                log.warning("pallas decode supports <=4 anchors/head; "
+                            "falling back to decode_impl='xla'")
+                decode_impl = "xla"
         max_results = self.max_results
 
         if self.mesh is not None:
@@ -142,7 +155,7 @@ class Detector:
                                        nms_impl=nms_impl,
                                        decode_impl=decode_impl,
                                        max_results=max_results)
-            self._pipelines[key] = run
+            self._cache_pipeline(key, run)
             return run
 
         if self.net.quantized:
@@ -178,7 +191,7 @@ class Detector:
                                            max_results=max_results)
 
             run = lambda params, frames: run_q(qparams, frames)  # noqa: E731
-            self._pipelines[key] = run
+            self._cache_pipeline(key, run)
             return run
 
         @jax.jit
@@ -211,8 +224,13 @@ class Detector:
                                        top_k=top_k, impl=nms_impl,
                                        max_results=max_results)
 
-        self._pipelines[key] = run
+        self._cache_pipeline(key, run)
         return run
+
+    def _cache_pipeline(self, key, run):
+        self._pipelines[key] = run
+        while len(self._pipelines) > self._pipeline_capacity:
+            self._pipelines.popitem(last=False)
 
     def _unpack(self, res, src_hw: Optional[Tuple[int, int]]
                 ) -> List[Detection]:
@@ -298,7 +316,19 @@ class Detector:
         from . import native
 
         if not native.available():
-            return [d for f in frames for d in self.detect_batch(f)]
+            # group same-shape frames into real batches (order preserved):
+            # the old per-frame fallback ran batch-1 pipelines, so callers
+            # that pad to a fixed batch (serve.MicroBatcher) compiled and
+            # warmed executables that were never used (round-2 review)
+            out: List[Optional[Detection]] = [None] * len(frames)
+            groups: Dict[Tuple[int, ...], List[int]] = {}
+            for i, f in enumerate(frames):
+                groups.setdefault(tuple(f.shape), []).append(i)
+            for idxs in groups.values():
+                dets = self.detect_batch(np.stack([frames[i] for i in idxs]))
+                for i, d in zip(idxs, dets):
+                    out[i] = d
+            return out
         canvases = self._build_canvases(frames)
         src_hws = [f.shape[:2] for f in frames]
         return self.detect_preletterboxed(canvases, src_hws)
@@ -504,6 +534,14 @@ def detect_directory(detector: Detector, dir_path, batch_size: int = 32,
         def submit(chunk):
             frames = [f for _, f in chunk]
             canvases = detector._build_canvases(frames)
+            if len(chunk) < batch_size:
+                # zero-pad the final partial chunk to the full batch shape:
+                # reuses the one warm (batch_size, net_hw) executable
+                # instead of compiling a remainder-sized one (the docstring
+                # has promised this all along — round-2 review)
+                pad = np.zeros((batch_size - len(chunk), *canvases.shape[1:]),
+                               canvases.dtype)
+                canvases = np.concatenate([canvases, pad])
             device_frames, b, n_real = detector._stage_batch(canvases)
             run = detector._pipeline(b, detector.net_hw, bgr=False)
             res = run(detector.net.params, device_frames)
@@ -546,6 +584,13 @@ def detect_directory(detector: Detector, dir_path, batch_size: int = 32,
             if not bucket:
                 continue
             frames = np.stack([f for _, f in bucket])
+            if len(bucket) < batch_size:
+                # final partial bucket: pad to the (possibly already warm)
+                # full batch shape; emit() zips against the real bucket so
+                # pad results drop
+                pad = np.zeros((batch_size - len(bucket), *frames.shape[1:]),
+                               frames.dtype)
+                frames = np.concatenate([frames, pad])
             emit(bucket, detector.detect_batch(frames))
     if verbose:
         dt = time.perf_counter() - t0
@@ -661,9 +706,14 @@ def detect_in_video(detector: Detector, filepath, class_names=None,
             if frames:
                 with timers.stage("dispatch"):
                     batch = np.stack(frames)
-                    b, h, w, _ = batch.shape
+                    h, w = batch.shape[1:3]
+                    # _stage_batch, not a bare jnp.asarray: a mesh-backed
+                    # Detector needs the batch padded to a shardable size
+                    # (round-2 review — frame_batch=1 on an 8-chip mesh
+                    # crashed the shard_map divisibility check)
+                    device_frames, b, _ = detector._stage_batch(batch)
                     run = detector._pipeline(b, (h, w))
-                    res = run(detector.net.params, jnp.asarray(batch))  # async
+                    res = run(detector.net.params, device_frames)  # async
                 if in_flight is not None:
                     with timers.stage("drain+draw+encode"):
                         _drain(*in_flight)  # materialize i while i+1 computes
@@ -686,7 +736,7 @@ def detect_in_video(detector: Detector, filepath, class_names=None,
 def detect_in_cam(detector: Detector, cam_id=0, class_names=None,
                   show_fps: bool = False, output_path=None,
                   show: bool = True, max_frames: Optional[int] = None,
-                  pipeline_depth: int = 0):
+                  pipeline_depth: int = 0, output_fps: float = 30.0):
     """Real-time webcam loop (reference ``detect_in_cam``, SURVEY.md §3.2):
     getter thread (latest-frame-wins, deliberately dropping frames) → device
     pipeline → shower thread. ``cam_id`` may be a device index or any
@@ -709,20 +759,28 @@ def detect_in_cam(detector: Detector, cam_id=0, class_names=None,
     shower = VideoShower(window_name="yolov3-tpu").start() if show else None
     fps = FPSCounter()
     writer = None
-    frames_out = []
     n_done = 0
     pipe = (PipelinedDetector(detector, depth=pipeline_depth)
             if pipeline_depth > 0 else None)
     pending: List[np.ndarray] = []  # source frames awaiting pipelined results
 
     def emit(frame, det):
-        nonlocal n_done
+        nonlocal n_done, writer
         draw_boxes(frame, det, class_names=class_names)
         fps.tick()
         if show_fps:
             fps.overlay(frame)
         if output_path:
-            frames_out.append(frame)
+            # write incrementally (round-2 review: buffering every frame
+            # until exit grows RAM without bound on long captures); the
+            # container FPS is ``output_fps`` — the true capture rate is
+            # unknowable upfront with latest-frame-wins dropping
+            if writer is None:
+                h, w = frame.shape[:2]
+                writer = cv2.VideoWriter(str(output_path),
+                                         cv2.VideoWriter_fourcc(*"mp4v"),
+                                         max(float(output_fps), 1.0), (w, h))
+            writer.write(frame)
         if shower is not None:
             shower.frame = frame
         n_done += 1
@@ -755,12 +813,6 @@ def detect_in_cam(detector: Detector, cam_id=0, class_names=None,
         getter.stop()
         if shower is not None:
             shower.stop()
-        if output_path and frames_out:
-            h, w = frames_out[0].shape[:2]
-            writer = cv2.VideoWriter(str(output_path),
-                                     cv2.VideoWriter_fourcc(*"mp4v"),
-                                     max(fps.fps(), 1.0), (w, h))
-            for f in frames_out:
-                writer.write(f)
+        if writer is not None:
             writer.release()
     return n_done

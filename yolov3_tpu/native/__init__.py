@@ -18,7 +18,13 @@ _SO = _SRC.parent / "libpreproc.so"
 _lib = None
 _tried = False
 
-PAD_VALUE = 128  # uint8 gray == 0.5 after /255, matching the device letterbox
+# uint8 letterbox pad. The device/float paths pad exactly 0.5 (darknet
+# convention); 0.5 is NOT representable in uint8 (127.5), so this path is a
+# half-LSB off (128/255 ≈ 0.50196) on pad pixels only — consistent with the
+# path's own uint8 quantization and its ±1 LSB-vs-cv2 parity contract
+# (tests/test_native_preproc.py), but NOT bit-identical to the device
+# letterbox borders. (Round-2 review: the old comment claimed equality.)
+PAD_VALUE = 128
 
 
 def _build() -> bool:
@@ -41,7 +47,12 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+    # a prebuilt .so without the source (packaged/deployed tree) is fine —
+    # only compare mtimes when BOTH exist (round-2 review: stat() on a
+    # missing source raised instead of falling back)
+    stale = (_SO.exists() and _SRC.exists()
+             and _SO.stat().st_mtime < _SRC.stat().st_mtime)
+    if not _SO.exists() or stale:
         if not _SRC.exists() or not _build():
             return None
     try:

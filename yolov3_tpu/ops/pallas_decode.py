@@ -29,6 +29,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 ROW_TILE = 256  # grid cells per kernel instance (sublane tile)
+MAX_ANCHORS = 4  # compact/packed kernels emit 8 rows per anchor into a
+                 # 32-row block; more anchors per head need the XLA decode
+
+
+def supported(anchors_per_head) -> bool:
+    """Compact/packed kernel eligibility: ≤4 anchors per head (every
+    published yolov3 variant has 3). Callers fall back to the XLA decode
+    otherwise instead of hitting an opaque in-kernel shape error
+    (round-2 review)."""
+    return all(len(a) <= MAX_ANCHORS for a in anchors_per_head)
 
 
 def _channel_constants(anchors, stride, num_classes, c_pad):
@@ -225,6 +235,10 @@ def decode_packed_head_pallas(
     iota — one (g², A) transpose per head builds the whole record."""
     b, gy, gx, c = feat.shape
     a = len(anchors)
+    if a > MAX_ANCHORS:
+        raise ValueError(
+            f"pallas packed decode supports <= {MAX_ANCHORS} anchors/head, "
+            f"got {a} — use decode_impl='xla'")
     per = 5 + num_classes
     assert c == a * per
     interpret = interpret or jax.default_backend() == "cpu"
@@ -302,6 +316,10 @@ def decode_compact_head_pallas(
     """
     b, gy, gx, c = feat.shape
     a = len(anchors)
+    if a > MAX_ANCHORS:
+        raise ValueError(
+            f"pallas compact decode supports <= {MAX_ANCHORS} anchors/head, "
+            f"got {a} — use decode_impl='xla'")
     per = 5 + num_classes
     assert c == a * per
     # Pallas compiles for TPU only; on the CPU backend (tests, virtual

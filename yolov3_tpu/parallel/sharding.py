@@ -78,7 +78,12 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
     """
     from ..model import forward_compact
     from ..ops.nms import batched_nms_compact
+    from ..ops.pallas_decode import supported as _pallas_decode_ok
     from ..ops.preprocess import preprocess
+
+    if (decode_impl == "pallas"
+            and not _pallas_decode_ok([n.anchors for n in graph.yolo_nodes])):
+        decode_impl = "xla"  # >4 anchors/head: kernel layout cap
 
     data_in = batch_sharding(mesh, 4)
     out_spec = NamedSharding(mesh, P(DATA_AXIS))
