@@ -382,3 +382,45 @@ def test_packed_max_results_matches_compact():
         np.testing.assert_array_equal(np.asarray(getattr(ref, name)),
                                       np.asarray(getattr(out, name)),
                                       err_msg=name)
+
+
+def test_pairmax_fuzz_many_shapes():
+    """Randomized sweep: pairmax selection ≡ lax.top_k across shapes,
+    densities, k values, and tie structures (25 random configs)."""
+    import jax
+    from jax import lax
+    from yolov3_tpu.ops.nms import _select_pairmax
+
+    rng = np.random.default_rng(97)
+    select = jax.jit(_select_pairmax, static_argnames="k")
+    for trial in range(25):
+        n = int(rng.integers(2, 4000))
+        b = int(rng.integers(1, 4))
+        k = min(int(rng.integers(1, 600)), n)
+        density = float(rng.uniform(0, 1))
+        quant = rng.uniform() < 0.5
+        raw = rng.uniform(0.05, 1.0, (b, n)).astype(np.float32)
+        if quant:
+            raw = (np.round(raw * 4) / 4).astype(np.float32)  # massive ties
+        masked = np.where(rng.uniform(0, 1, (b, n)) < density, raw, 0.0
+                          ).astype(np.float32)
+        boxes = rng.uniform(0, 416, (b, n, 4)).astype(np.float32)
+        classes = rng.integers(0, 80, (b, n), dtype=np.int32)
+
+        ts, ti = lax.top_k(jnp.asarray(masked), k)
+        ref_boxes = jnp.take_along_axis(jnp.asarray(boxes),
+                                        ti[..., None], axis=1)
+        ref_classes = jnp.take_along_axis(jnp.asarray(classes), ti, axis=1)
+        out = select(jnp.asarray(boxes), jnp.asarray(masked),
+                     jnp.asarray(classes), k=k)
+        valid = np.asarray(ts) > 0
+        ctx = f"trial={trial} n={n} b={b} k={k} density={density:.2f}"
+        np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ts),
+                                      err_msg=ctx)
+        np.testing.assert_array_equal(np.asarray(out[3]), valid, err_msg=ctx)
+        np.testing.assert_array_equal(np.asarray(out[0])[valid],
+                                      np.asarray(ref_boxes)[valid],
+                                      err_msg=ctx)
+        np.testing.assert_array_equal(np.asarray(out[2])[valid],
+                                      np.asarray(ref_classes)[valid],
+                                      err_msg=ctx)
