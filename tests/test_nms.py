@@ -424,3 +424,35 @@ def test_pairmax_fuzz_many_shapes():
         np.testing.assert_array_equal(np.asarray(out[2])[valid],
                                       np.asarray(ref_classes)[valid],
                                       err_msg=ctx)
+
+
+def test_blocked_fused_equals_blocked():
+    """_greedy_suppress_blocked_fused (on-the-fly conflict columns) is
+    bit-identical to the matrix-based blocked form and the scalar greedy."""
+    import jax
+    from yolov3_tpu.ops.nms import (_greedy_suppress_blocked,
+                                    _greedy_suppress_blocked_fused,
+                                    iou_matrix)
+
+    rng = np.random.default_rng(43)
+    for n in (64, 128, 512, 100):  # 100: non-multiple fallback path
+        det = random_detections(rng, n=n, classes=5)
+        boxes = jnp.asarray(cxywh_to_tlbr(det[:, :4]))
+        classes = jnp.asarray(det[:, 5:].argmax(1).astype(np.int32))
+        valid = jnp.asarray(rng.uniform(0, 1, n) > 0.2)
+        ref = np.asarray(jax.jit(
+            _greedy_suppress_blocked, static_argnames="iou_thresh")(
+            iou_matrix(boxes), classes[:, None] == classes[None, :],
+            valid, 0.3)) if n % 64 == 0 else None
+        out = np.asarray(jax.jit(
+            _greedy_suppress_blocked_fused, static_argnames="iou_thresh")(
+            boxes, classes, valid, 0.3))
+        if ref is not None:
+            np.testing.assert_array_equal(ref, out)
+        # always identical to the scalar greedy reference
+        from yolov3_tpu.ops.nms import _greedy_suppress
+        scalar = np.asarray(jax.jit(
+            _greedy_suppress, static_argnames="iou_thresh")(
+            iou_matrix(boxes), classes[:, None] == classes[None, :],
+            valid, 0.3))
+        np.testing.assert_array_equal(scalar, out)

@@ -119,6 +119,66 @@ def _greedy_suppress_blocked(iou: jax.Array, same_class: jax.Array,
                          jnp.zeros((k,), dtype=bool))
 
 
+def _greedy_suppress_blocked_fused(boxes: jax.Array, classes: jax.Array,
+                                   valid: jax.Array, iou_thresh: float
+                                   ) -> jax.Array:
+    """Blocked greedy NMS with the conflict columns computed ON THE FLY.
+
+    Same fixpoint as :func:`_greedy_suppress_blocked` (bit-identical keep
+    mask), but instead of materializing the dense K×K IoU/conflict matrix
+    — (B, 512, 512) f32 + bool per batch at serving shape, most of the
+    measured 0.8 ms IoU stage — each block step computes just its (K, 64)
+    conflict slab from the raw boxes/classes: 8× less IoU arithmetic
+    touches memory and nothing K² ever exists.
+    """
+    k = boxes.shape[0]
+    if k % _BLOCK:
+        iou = iou_matrix(boxes)
+        same = classes[:, None] == classes[None, :]
+        return _greedy_suppress(iou, same, valid, iou_thresh)
+    n_blocks = k // _BLOCK
+    area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 0)
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _BLOCK), 0)
+           < jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _BLOCK), 1))
+
+    def block_step(b, keep):
+        off = b * _BLOCK
+        blk_boxes = lax.dynamic_slice(boxes, (off, 0), (_BLOCK, 4))
+        blk_cls = lax.dynamic_slice(classes, (off,), (_BLOCK,))
+        blk_area = lax.dynamic_slice(area, (off,), (_BLOCK,))
+        # (K, BLOCK) IoU of every candidate vs this block — identical
+        # arithmetic to iou_matrix's corresponding columns
+        tl = jnp.maximum(boxes[:, None, :2], blk_boxes[None, :, :2])
+        br = jnp.minimum(boxes[:, None, 2:], blk_boxes[None, :, 2:])
+        wh = jnp.maximum(br - tl, 0)
+        inter = wh[..., 0] * wh[..., 1]
+        union = area[:, None] + blk_area[None, :] - inter
+        conf_cols = ((inter / jnp.maximum(union, 1e-9) > iou_thresh)
+                     & (classes[:, None] == blk_cls[None, :]))
+
+        ext = jnp.any(keep[:, None] & conf_cols, axis=0)
+        v = lax.dynamic_slice(valid, (off,), (_BLOCK,)) & ~ext
+        cloc = lax.dynamic_slice(conf_cols, (off, 0),
+                                 (_BLOCK, _BLOCK)) & tri
+
+        def fix_cond(state):
+            kb, changed = state
+            return changed
+
+        def fix_body(state):
+            kb, _ = state
+            nkb = v & ~jnp.any(kb[:, None] & cloc, axis=0)
+            return nkb, jnp.any(nkb != kb)
+
+        kb, _ = lax.while_loop(fix_cond, fix_body,
+                               (v, jnp.asarray(True)))
+        return lax.dynamic_update_slice(keep, kb, (off,))
+
+    return lax.fori_loop(0, n_blocks, block_step,
+                         jnp.zeros((k,), dtype=bool))
+
+
 def _candidates(det: jax.Array, prob_thresh: float, top_k: int):
     """Per-image: score/class reduction, threshold, static top-k gather."""
     obj = det[:, 4]
@@ -228,12 +288,11 @@ def _suppress_batch(boxes, scores, classes, valid, iou_thresh, impl,
         keep = pallas_suppress(boxes, classes, valid, iou_thresh,
                                interpret=interpret)
     elif impl == "xla":
-        def one(bx, cl, va):
-            iou = iou_matrix(bx)
-            same = cl[:, None] == cl[None, :]
-            return _greedy_suppress_blocked(iou, same, va, iou_thresh)
-
-        keep = jax.vmap(one)(boxes, classes, valid)
+        # fused variant: conflict columns computed per block step — the
+        # dense (B, K, K) IoU matrix never materializes
+        keep = jax.vmap(
+            lambda bx, cl, va: _greedy_suppress_blocked_fused(
+                bx, cl, va, iou_thresh))(boxes, classes, valid)
     else:
         raise ValueError(f"unknown NMS impl {impl!r}")
 
