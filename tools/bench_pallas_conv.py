@@ -46,46 +46,13 @@ def timeit(fn, args, iters=8):
 
 
 def timeit_scanned(fn, x, w, bias, reps=3, lens=(8, 40)):
-    """Per-op DEVICE time via differential scan timing.
+    """Per-op device time via the shared differential-scan clock
+    (tools/bench_clock.py — see it for the RTT-cancellation rationale and
+    the full-consumption dependency rules)."""
+    from tools.bench_clock import timeit_scanned as _clock
 
-    Runs the op inside one jitted scan at two lengths and returns
-    ``(t_long - t_short) / (len_long - len_short)``. A single synced
-    dispatch through the axon relay costs a ~26 ms round trip REGARDLESS
-    of device work (measured: a 128-iteration scan of a trivial op and a
-    32-iteration scan of a 64 MB op both total ~26 ms), so any absolute
-    timing is RTT, not kernel time; the difference between two scan
-    lengths cancels it exactly. A data dependency between iterations
-    stops the compiler from hoisting/deduping the op."""
-
-    def many_fn(scan_len):
-        @jax.jit
-        def many(x, w, bias):
-            def body(carry, _):
-                y = fn(carry, w, bias)
-                # the dependency must consume EVERY output element with a
-                # non-zero weight: a sliced consumer lets XLA push the
-                # slice through the conv and compute a fraction of it
-                # (observed: 4800 "TF/s"), and a *0 term is foldable in
-                # principle — so reduce the whole tensor and scale by a
-                # numerically-negligible constant
-                dep = jnp.sum(y.astype(jnp.float32)) * jnp.float32(1e-24)
-                carry = carry + dep.astype(carry.dtype)
-                return carry, ()
-            out, _ = jax.lax.scan(body, x, None, length=scan_len)
-            return jnp.sum(out.astype(jnp.float32))
-        return many
-
-    totals = []
-    for scan_len in lens:
-        many = many_fn(scan_len)
-        float(many(x, w, bias))  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(many(x, w, bias))
-            best = min(best, time.perf_counter() - t0)
-        totals.append(best)
-    return (totals[1] - totals[0]) / (lens[1] - lens[0])
+    return _clock(lambda carry, w_, b_: fn(carry, w_, b_), (x, w, bias),
+                  reps=reps, lens=lens)
 
 
 def main(dtype=jnp.bfloat16):

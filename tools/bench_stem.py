@@ -131,10 +131,17 @@ def main():
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return leaky(y2 + b2.astype(y2.dtype))
 
-    # parity on a small slice
-    ref = np.asarray(jax.jit(stem)(x[:2], w1, b1), np.float32)
-    out = np.asarray(jax.jit(stem_s2d)(x[:2], w1s, b1), np.float32)
-    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6)
+    # parity on a small slice — reduce ON DEVICE and fetch two scalars
+    # (the relay D2H runs ~150 KB/s; pulling the full activations stalls
+    # the tool for minutes, round-2 review)
+    @jax.jit
+    def rel_err(x2, w1_, b1_, w1s_):
+        ref = stem(x2, w1_, b1_).astype(jnp.float32)
+        out = stem_s2d(x2, w1s_, b1_).astype(jnp.float32)
+        return (jnp.max(jnp.abs(out - ref)), jnp.max(jnp.abs(ref)))
+
+    d, m = rel_err(x[:2], w1, b1, w1s)
+    rel = float(d) / (float(m) + 1e-6)
     print(f"s2d stem parity: max rel {rel:.2e}")
     assert rel < 2e-2, "s2d stem diverges"
 

@@ -3,19 +3,16 @@
 DESIGN.md's bottleneck map names exact ``lax.top_k`` over (B, 22743) as the
 single biggest non-conv tail item (~2.8 ms at b128/K=512). This tool measures
 the stage and its alternatives on the real chip with the differential-scan
-clock (see tools/bench_pallas_conv.py::timeit_scanned — absolute wall timings
-through the axon relay are ~26 ms RTT regardless of device work).
+clock (tools/bench_clock.py — absolute wall timings through the axon
+relay are ~26 ms RTT regardless of device work).
 
-Variants:
-  topk        — current serving path: lax.top_k + take_along_axis gathers
-  sort1       — single packed-key lax.sort desc, slice K (no index operand)
-  select      — Pallas exact radix-select kernel (ops/pallas_select.py)
+Variants: the direct top_k+gathers stage, sort-based alternatives, and
+the shipped exact pair-max selection (ops/nms.py::_select_pairmax).
 
 Run: python tools/bench_topk.py [--batch 128] [--k 512]
 """
 import argparse
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -29,33 +26,9 @@ from jax import lax
 N_608 = 22743  # yolov3 @608 candidate count (3 heads, 3 anchors)
 
 
-def timeit_scanned(fn, args, dep, reps=3, lens=(8, 40)):
-    """Per-op device time via differential scan timing (see bench_pallas_conv).
-
-    ``dep(carry, out) -> carry`` must create a REAL data dependency between
-    iterations or the op is hoisted/DCE'd (negative readings = eliminated).
-    """
-    def many_fn(scan_len):
-        @jax.jit
-        def many(*args):
-            def body(carry, _):
-                out = fn(carry, *args[1:])
-                return dep(carry, out), ()
-            out, _ = jax.lax.scan(body, args[0], None, length=scan_len)
-            return jnp.sum(out.astype(jnp.float32))
-        return many
-
-    totals = []
-    for scan_len in lens:
-        many = many_fn(scan_len)
-        float(many(*args))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(many(*args))
-            best = min(best, time.perf_counter() - t0)
-        totals.append(best)
-    return (totals[1] - totals[0]) / (lens[1] - lens[0])
+# canonical clock lives in tools/bench_clock.py; these names are kept for
+# the sibling benches that import them
+from tools.bench_clock import dep_full, timeit_scanned  # noqa: F401,E402
 
 
 def make_inputs(batch, n, density=0.02, seed=0):
@@ -88,16 +61,7 @@ def stage_sort1(scores, boxes, classes, k):
     return (top_scores,)
 
 
-def dep_carry(carry, out):
-    # consume EVERY ELEMENT of every output with a non-zero (numerically
-    # negligible) weight: a *0 term constant-folds, and a SLICED consumer
-    # lets XLA push the slice through the op under test and compute only a
-    # fraction of it (a top_k whose consumer takes column 0 simplifies to
-    # an argmax) — negative/over-peak readings mean the dep failed
-    acc = jnp.float32(0)
-    for o in out:
-        acc = acc + jnp.sum(o.astype(jnp.float32))
-    return carry + (acc * jnp.float32(1e-24)).astype(carry.dtype)
+dep_carry = dep_full  # legacy name
 
 
 def main():

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from tools.bench_topk import N_608, dep_carry, timeit_scanned
+from tools.bench_topk import N_608, dep_full, timeit_scanned
 
 
 def main():
@@ -28,15 +28,6 @@ def main():
     idx = jnp.asarray(
         np.argsort(rng.uniform(size=(b, n)), axis=1)[:, :k].astype(np.int32))
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
-
-    def full(o):
-        return jnp.sum(o.astype(jnp.float32))
-
-    def dep_full(carry, out):
-        acc = jnp.float32(0)
-        for o in out:
-            acc = acc + full(o)
-        return carry + (acc * jnp.float32(1e-24)).astype(carry.dtype)
 
     variants = {
         # control: top_k with everything consumed (expect ~2.7 ms)

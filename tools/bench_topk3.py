@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from tools.bench_topk import N_608, timeit_scanned
+from tools.bench_topk import N_608, dep_full, timeit_scanned
 
 
 def main():
@@ -27,12 +27,6 @@ def main():
     raw = rng.uniform(0, 1, (b, n)).astype(np.float32)
     mask_np = rng.uniform(0, 1, (b, n)) < 0.015  # ~340 nonzero per image
     scores = jnp.asarray(np.where(mask_np, raw, 0.0).astype(np.float32))
-
-    def dep_full(carry, out):
-        acc = jnp.float32(0)
-        for o in out:
-            acc = acc + jnp.sum(o.astype(jnp.float32))
-        return carry + (acc * jnp.float32(1e-24)).astype(carry.dtype)
 
     def positions(s):
         m = s > 0.0

@@ -150,16 +150,20 @@ def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
     # prob_thresh=0.005 dense scenes with trained weights can exceed 512
     # candidates, and NMS truncates to the top-K by score (exact-top-K
     # truncation is tested in tests/test_nms.py) — a too-small K silently
-    # drops low-score tails and skews mAP. Saturation signal: an image
-    # whose SURVIVOR count reaches top_k had >= top_k candidates pass the
-    # threshold (sufficient, not necessary — suppression usually shrinks
-    # the set well below K first); such images are counted and reported as
-    # `saturated_images`, and a nonzero count means --top-k must be raised.
+    # drops low-score tails and skews mAP. Saturation signals (both
+    # ONE-SIDED: they prove truncation but cannot prove its absence,
+    # because suppression usually shrinks the survivor set well below K
+    # even when >K candidates passed the threshold):
+    #   saturated_images      — survivor count == top_k (truncation certain)
+    #   near_saturated_images — survivors >= 7/8 * top_k (strong hint)
+    # A nonzero count means raise --top-k; a zero count is NOT proof of no
+    # truncation — for a rigorous audit, re-run a sample at 2x --top-k and
+    # check the mAP is stable.
     det = Detector(net, prob_thresh=prob_thresh, iou_thresh=iou_thresh,
                    top_k=top_k, max_results=0)
 
     detections = {}
-    saturated = [0]
+    saturated = [0, 0]  # [exact, near]
     frames, metas = [], []
 
     def flush():
@@ -169,6 +173,8 @@ def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
         for (img_id,), r in zip(metas, results):
             if len(r.bbox_tlbr) >= top_k:
                 saturated[0] += 1
+            elif len(r.bbox_tlbr) >= top_k - top_k // 8:
+                saturated[1] += 1
             by_cls = defaultdict(lambda: ([], []))
             for box, score, cls in zip(r.bbox_tlbr, r.class_prob, r.class_idx):
                 by_cls[int(cls)][0].append(box)
@@ -193,9 +199,12 @@ def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
              for img, cls in gt.items()}
     out = evaluate(detections, gt_np)
     out["saturated_images"] = saturated[0]
-    if saturated[0]:
-        print(f"WARNING: {saturated[0]} image(s) hit the top_k={top_k} "
-              f"candidate cap — raise --top-k and re-run", flush=True)
+    out["near_saturated_images"] = saturated[1]
+    if saturated[0] or saturated[1]:
+        print(f"WARNING: {saturated[0]} image(s) hit and {saturated[1]} "
+              f"approached the top_k={top_k} candidate cap — raise --top-k "
+              f"and re-run (zero counts are necessary, not sufficient: "
+              f"audit with 2x --top-k on a sample)", flush=True)
     return out
 
 
@@ -212,8 +221,10 @@ def main():
     ap.add_argument("--precision", default=None)
     ap.add_argument("--top-k", type=int, default=1024,
                     help="NMS candidate cap per image; candidates beyond the "
-                         "top-K by score are truncated (raise whenever the "
-                         "reported saturated_images count is nonzero)")
+                         "top-K by score are truncated. Raise whenever "
+                         "saturated/near_saturated counts are nonzero; zero "
+                         "counts do NOT prove no truncation (the signals are "
+                         "one-sided) — audit with 2x --top-k on a sample")
     args = ap.parse_args()
 
     res = run_model_on_coco(args.images, args.annotations, args.config,

@@ -97,10 +97,41 @@ def check_pairmax_select():
                             select_impl="topk")
     ok = (np.array_equal(np.asarray(a.valid), np.asarray(b.valid))
           and np.array_equal(np.asarray(a.scores), np.asarray(b.scores))
-          and np.array_equal(np.asarray(a.boxes), np.asarray(b.boxes)))
+          and np.array_equal(np.asarray(a.boxes), np.asarray(b.boxes))
+          and np.array_equal(np.asarray(a.classes), np.asarray(b.classes)))
     print(f"pairmax select compiled: survivors "
           f"{int(np.asarray(a.valid).sum())}, exact match vs top_k: {ok}")
     assert ok, "pairmax selection diverges on TPU"
+
+
+def check_packed_decode():
+    """The fused packed decode (the serving default) end-to-end on chip:
+    forward_packed + batched_nms_packed must match forward_compact +
+    batched_nms_compact bit-for-bit (same contract as the CPU test
+    tests/test_nms.py::test_packed_path_equals_compact_path)."""
+    from yolov3_tpu.graph import load_graph
+    from yolov3_tpu.model import forward_compact, forward_packed
+    from yolov3_tpu.ops.nms import batched_nms_compact, batched_nms_packed
+    from yolov3_tpu.weights import fold_raw, random_raw
+
+    repo = Path(__file__).parent.parent
+    g = load_graph(repo / "models" / "yolov3-tiny.cfg")
+    params = {k: {n: jnp.asarray(v) for n, v in p.items()}
+              for k, p in fold_raw(random_raw(g, seed=3)).items()}
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 416, 416, 3)).astype(np.float32))
+    bx, sc, cl = jax.jit(lambda p, x: forward_compact(
+        g, p, x, decode_impl="pallas"))(params, x)
+    ref = batched_nms_compact(bx, sc, cl, prob_thresh=0.3, iou_thresh=0.4)
+    payload, scores = jax.jit(lambda p, x: forward_packed(
+        g, p, x, prob_thresh=0.3))(params, x)
+    out = batched_nms_packed(payload, scores, iou_thresh=0.4)
+    ok = all(np.array_equal(np.asarray(getattr(ref, f)),
+                            np.asarray(getattr(out, f)))
+             for f in ("valid", "scores", "boxes", "classes"))
+    print(f"packed decode compiled: survivors "
+          f"{int(np.asarray(out.valid).sum())}, exact match vs compact: {ok}")
+    assert ok, "packed decode path diverges on TPU"
 
 
 def time_stage(fn, args, iters=5, label=""):
@@ -172,6 +203,7 @@ def main():
     check_compact_decode()
     check_nms()
     check_pairmax_select()
+    check_packed_decode()
     check_conv()
     check_e2e_pipeline()
     print("OK")
