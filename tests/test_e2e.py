@@ -369,3 +369,69 @@ def test_inference_oneshot_reuses_detector(tiny_weights, cfg_paths):
     det = inf_mod._ONESHOT_DETECTORS[(id(net), 0.3, 0.3, "letterbox")]
     assert len(det._pipelines) == 1
     np.testing.assert_array_equal(r1[0][0], r2[0][0])
+
+
+def test_detect_mixed_groups_shapes_without_native(tiny_weights, cfg_paths,
+                                                   monkeypatch):
+    """detect_mixed's non-native fallback batches same-shape frames
+    together (order preserved) and matches detect_batch results."""
+    from yolov3_tpu import native
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(tiny_weights)
+    det = Detector(net, prob_thresh=0.3, net_hw=(160, 160))
+    rng = np.random.default_rng(11)
+    a = [rng.integers(0, 256, (96, 128, 3), dtype=np.uint8) for _ in range(3)]
+    b = [rng.integers(0, 256, (64, 96, 3), dtype=np.uint8) for _ in range(2)]
+    frames = [a[0], b[0], a[1], b[1], a[2]]  # interleaved shapes
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    mixed = det.detect_mixed(frames)
+    assert len(mixed) == 5
+    # order/content parity with per-shape detect_batch
+    ra = det.detect_batch(np.stack(a))
+    rb = det.detect_batch(np.stack(b))
+    expect = [ra[0], rb[0], ra[1], rb[1], ra[2]]
+    for m, e in zip(mixed, expect):
+        np.testing.assert_array_equal(m.class_idx, e.class_idx)
+        np.testing.assert_allclose(m.bbox_tlbr, e.bbox_tlbr, atol=1e-4)
+
+
+def test_oneshot_cache_is_lru_bounded(tiny_weights, cfg_paths):
+    """The one-shot inference() Detector cache evicts beyond capacity."""
+    from yolov3_tpu import inference as inf_mod
+    from yolov3_tpu.model import Darknet
+
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(tiny_weights)
+    frame = np.random.default_rng(3).integers(
+        0, 256, (64, 96, 3), dtype=np.uint8)
+    inf_mod._ONESHOT_DETECTORS.clear()
+    for i in range(inf_mod._ONESHOT_CAPACITY + 3):
+        inf_mod.inference(net, frame, prob_thresh=0.3 + i * 0.01)
+    assert len(inf_mod._ONESHOT_DETECTORS) == inf_mod._ONESHOT_CAPACITY
+
+
+def test_detect_directory_pads_final_chunk_to_one_executable(
+        tiny_weights, cfg_paths, tmp_path, monkeypatch):
+    """A directory whose count is not a batch_size multiple must NOT
+    compile a second remainder-sized pipeline (round-2 fix: the final
+    chunk/bucket is zero-padded to batch_size)."""
+    import cv2
+
+    from yolov3_tpu import native
+    from yolov3_tpu.inference import Detector, detect_directory
+    from yolov3_tpu.model import Darknet
+
+    rng = np.random.default_rng(7)
+    for i in range(5):  # 5 % 4 != 0
+        cv2.imwrite(str(tmp_path / f"img{i}.png"),
+                    rng.integers(0, 256, (96, 128, 3), dtype=np.uint8))
+
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(tiny_weights)
+    det = Detector(net, prob_thresh=0.3, net_hw=(160, 160))
+    monkeypatch.setattr(native, "available", lambda: False)
+    results = detect_directory(det, tmp_path, batch_size=4)
+    assert len(results) == 5
+    batch_keys = {key[0] for key in det._pipelines}
+    assert batch_keys == {4}, f"extra executables compiled: {batch_keys}"

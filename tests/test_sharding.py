@@ -209,3 +209,31 @@ def test_graft_entry_hooks():
     assert "xla" in lowered.as_text().lower() or lowered is not None
 
     ge.dryrun_multichip(8)
+
+
+def test_detect_in_video_on_mesh(cfg_paths, tmp_path):
+    """detect_in_video with a mesh Detector: batches must be staged
+    through _stage_batch (shardable padding) — frame_batch=1 on a 4-device
+    mesh crashed before the round-2 fix."""
+    import cv2
+
+    from yolov3_tpu.inference import Detector, detect_in_video
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.weights import random_raw, write_weights
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=0))
+    vid = tmp_path / "in.mp4"
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"),
+                        10.0, (128, 96))
+    rng = np.random.default_rng(5)
+    for _ in range(5):
+        w.write(rng.integers(0, 256, (96, 128, 3), dtype=np.uint8))
+    w.release()
+
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(wpath)
+    det = Detector(net, prob_thresh=0.3, mesh=make_mesh(4),
+                   net_hw=(160, 160))
+    n = detect_in_video(det, str(vid), show=False, frame_batch=1)
+    assert n == 5
