@@ -59,12 +59,18 @@ def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
     # fire-and-forget through the relay)
     float(run(dev_params, batches[0])[0])
     float(run(dev_params, batches[-1])[0])
-    t0 = time.perf_counter()
-    outs = [run(dev_params, b) for b in batches]  # enqueue all (pipelined)
-    for o in outs:
-        float(o[0])
-    dt = time.perf_counter() - t0
-    return frames.shape[0] * iters / dt
+    # best of 2 timed blocks: a single relay-RTT outlier inside one sync
+    # block otherwise drags a whole row 10-20% low (observed on the fast
+    # @416 rows at the end of long runs)
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = [run(dev_params, b) for b in batches]  # enqueue all (pipelined)
+        for o in outs:
+            float(o[0])
+        dt = time.perf_counter() - t0
+        best = max(best, frames.shape[0] * iters / dt)
+    return best
 
 
 def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05):
@@ -100,11 +106,14 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05):
                for _ in range(iters)]
     float(run(qparams, batches[0])[0])
     float(run(qparams, batches[-1])[0])
-    t0 = time.perf_counter()
-    outs = [run(qparams, b) for b in batches]
-    for o in outs:
-        float(o[0])
-    return frames.shape[0] * iters / (time.perf_counter() - t0)
+    best = 0.0
+    for _ in range(2):  # best of 2 blocks (see measure_tpu)
+        t0 = time.perf_counter()
+        outs = [run(qparams, b) for b in batches]
+        for o in outs:
+            float(o[0])
+        best = max(best, frames.shape[0] * iters / (time.perf_counter() - t0))
+    return best
 
 
 def measure_torch_cpu(graph, raw, size, batch, iters):
