@@ -51,8 +51,7 @@ def timeit_scanned(fn, x, w, bias, reps=3, lens=(8, 40)):
     the full-consumption dependency rules)."""
     from tools.bench_clock import timeit_scanned as _clock
 
-    return _clock(lambda carry, w_, b_: fn(carry, w_, b_), (x, w, bias),
-                  reps=reps, lens=lens)
+    return _clock(fn, (x, w, bias), reps=reps, lens=lens)
 
 
 def main(dtype=jnp.bfloat16):

@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frames kept in flight on the device for --cam "
                         "(overlaps dispatch with draw/show; display lags by "
                         "this many frames; 0 = synchronous)")
+    p.add_argument("--output-fps", type=float, default=None,
+                   help="container FPS for --cam --output recordings "
+                        "(default: the measured loop rate over a short "
+                        "warmup)")
     p.add_argument("--net-size", type=int, default=None,
                    help="override net input resolution (e.g. 320/416/608)")
     p.add_argument("--resize-mode", choices=("letterbox", "stretch"),
@@ -199,7 +203,8 @@ def main(argv=None) -> int:
         detect_in_cam(detector, cam, class_names=class_names,
                       show_fps=args.show_fps, output_path=args.output,
                       show=not args.no_show,
-                      pipeline_depth=args.pipeline_depth)
+                      pipeline_depth=args.pipeline_depth,
+                      output_fps=args.output_fps)
     return 0
 
 

@@ -319,13 +319,23 @@ class Detector:
             # group same-shape frames into real batches (order preserved):
             # the old per-frame fallback ran batch-1 pipelines, so callers
             # that pad to a fixed batch (serve.MicroBatcher) compiled and
-            # warmed executables that were never used (round-2 review)
+            # warmed executables that were never used (round-2 review).
+            # Each group pads to the next power of two so mixed-shape
+            # traffic compiles at most log2(max_batch) executables per
+            # shape instead of one per observed group size (follow-up
+            # review: arbitrary group sizes churned ~60s compiles).
             out: List[Optional[Detection]] = [None] * len(frames)
             groups: Dict[Tuple[int, ...], List[int]] = {}
             for i, f in enumerate(frames):
                 groups.setdefault(tuple(f.shape), []).append(i)
             for idxs in groups.values():
-                dets = self.detect_batch(np.stack([frames[i] for i in idxs]))
+                batch = np.stack([frames[i] for i in idxs])
+                padded = 1 << (len(idxs) - 1).bit_length()
+                if padded > len(idxs):
+                    pad = np.zeros((padded - len(idxs), *batch.shape[1:]),
+                                   batch.dtype)
+                    batch = np.concatenate([batch, pad])
+                dets = self.detect_batch(batch)
                 for i, d in zip(idxs, dets):
                     out[i] = d
             return out
@@ -736,7 +746,8 @@ def detect_in_video(detector: Detector, filepath, class_names=None,
 def detect_in_cam(detector: Detector, cam_id=0, class_names=None,
                   show_fps: bool = False, output_path=None,
                   show: bool = True, max_frames: Optional[int] = None,
-                  pipeline_depth: int = 0, output_fps: float = 30.0):
+                  pipeline_depth: int = 0,
+                  output_fps: Optional[float] = None):
     """Real-time webcam loop (reference ``detect_in_cam``, SURVEY.md §3.2):
     getter thread (latest-frame-wins, deliberately dropping frames) → device
     pipeline → shower thread. ``cam_id`` may be a device index or any
@@ -759,6 +770,7 @@ def detect_in_cam(detector: Detector, cam_id=0, class_names=None,
     shower = VideoShower(window_name="yolov3-tpu").start() if show else None
     fps = FPSCounter()
     writer = None
+    warmup: List[np.ndarray] = []  # frames held until the writer opens
     n_done = 0
     pipe = (PipelinedDetector(detector, depth=pipeline_depth)
             if pipeline_depth > 0 else None)
@@ -772,15 +784,25 @@ def detect_in_cam(detector: Detector, cam_id=0, class_names=None,
             fps.overlay(frame)
         if output_path:
             # write incrementally (round-2 review: buffering every frame
-            # until exit grows RAM without bound on long captures); the
-            # container FPS is ``output_fps`` — the true capture rate is
-            # unknowable upfront with latest-frame-wins dropping
+            # until exit grows RAM without bound on long captures).
+            # ``output_fps=None``: buffer only a short warmup, then open
+            # the writer at the MEASURED loop rate (latest-frame-wins
+            # makes the true rate unknowable upfront) and flush the buffer.
             if writer is None:
-                h, w = frame.shape[:2]
-                writer = cv2.VideoWriter(str(output_path),
-                                         cv2.VideoWriter_fourcc(*"mp4v"),
-                                         max(float(output_fps), 1.0), (w, h))
-            writer.write(frame)
+                warmup.append(frame)
+                if output_fps is not None or len(warmup) >= 10                         or (max_frames is not None
+                            and n_done + 1 >= max_frames):
+                    rate = (float(output_fps) if output_fps is not None
+                            else fps.fps())
+                    h, w = frame.shape[:2]
+                    writer = cv2.VideoWriter(
+                        str(output_path), cv2.VideoWriter_fourcc(*"mp4v"),
+                        max(rate, 1.0), (w, h))
+                    for f in warmup:
+                        writer.write(f)
+                    warmup.clear()
+            else:
+                writer.write(frame)
         if shower is not None:
             shower.frame = frame
         n_done += 1
@@ -813,6 +835,14 @@ def detect_in_cam(detector: Detector, cam_id=0, class_names=None,
         getter.stop()
         if shower is not None:
             shower.stop()
+        if writer is None and warmup and output_path:
+            # loop ended before the warmup threshold: flush at measured rate
+            h, w = warmup[0].shape[:2]
+            writer = cv2.VideoWriter(str(output_path),
+                                     cv2.VideoWriter_fourcc(*"mp4v"),
+                                     max(fps.fps(), 1.0), (w, h))
+            for f in warmup:
+                writer.write(f)
         if writer is not None:
             writer.release()
     return n_done

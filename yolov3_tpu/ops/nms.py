@@ -128,8 +128,9 @@ def _greedy_suppress_blocked_fused(boxes: jax.Array, classes: jax.Array,
     mask), but instead of materializing the dense K×K IoU/conflict matrix
     — (B, 512, 512) f32 + bool per batch at serving shape, most of the
     measured 0.8 ms IoU stage — each block step computes just its (K, 64)
-    conflict slab from the raw boxes/classes: 8× less IoU arithmetic
-    touches memory and nothing K² ever exists.
+    conflict slab from the raw boxes/classes. Total IoU ARITHMETIC is
+    unchanged (K/64 slabs of K×64 = the same K² pairs); the win is that
+    nothing K²-sized is ever written to or read from memory.
     """
     k = boxes.shape[0]
     if k % _BLOCK:
