@@ -94,6 +94,49 @@ def test_cli_video_file(tiny_weights, cfg_paths, tmp_path, capsys):
     cap.release()
 
 
+def test_cli_video_pipeline_depth(tiny_weights, cfg_paths, tmp_path, capsys):
+    """--pipeline-depth on the video path: deeper in-flight window must
+    still process and write every frame in order (round-2 verdict next #4)."""
+    import cv2
+
+    src = tmp_path / "in.avi"
+    w = cv2.VideoWriter(str(src), cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                        (320, 240))
+    rng = np.random.default_rng(2)
+    for _ in range(7):
+        w.write(rng.integers(0, 256, (240, 320, 3), dtype=np.uint8))
+    w.release()
+
+    out = tmp_path / "out.avi"
+    rc = _cli(["--video", str(src),
+               "--config", cfg_paths["yolov3-tiny"],
+               "--weights", tiny_weights,
+               "--no-show", "--output", str(out),
+               "--frame-batch", "2", "--pipeline-depth", "3",
+               "--prob-thresh", "0.3"])
+    assert rc == 0
+    assert "processed 7 frames" in capsys.readouterr().out
+    cap = cv2.VideoCapture(str(out))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 7
+    cap.release()
+
+
+def test_cli_profile_flag_writes_trace(tiny_weights, sample_images, cfg_paths,
+                                       tmp_path, capsys):
+    """--profile captures a jax.profiler trace around the run (SURVEY.md
+    §5.1; works on CPU and through the TPU relay — see PARITY_CHECKLIST)."""
+    trace_dir = tmp_path / "trace"
+    rc = _cli(["--image", sample_images[1][0],
+               "--config", cfg_paths["yolov3-tiny"],
+               "--weights", tiny_weights,
+               "--no-show", "--prob-thresh", "0.3",
+               "--profile", str(trace_dir)])
+    assert rc == 0
+    assert "profiler trace written" in capsys.readouterr().out
+    files = [p for p in trace_dir.rglob("*") if p.is_file()]
+    assert files, "profiler trace directory is empty"
+
+
 def test_cli_multi_resolution_override(tiny_weights, sample_images, cfg_paths,
                                        tmp_path):
     """--net-size 320 re-jits the same params at another resolution."""

@@ -103,6 +103,42 @@ def test_run_model_on_coco_end_to_end(tmp_path, cfg_paths):
     assert 0.0 <= res["mAP50_95"] <= res["mAP50"] + 1e-9
 
 
+def test_truncation_audit_auto_triggers(tmp_path, cfg_paths):
+    """Round-2 verdict next #5: with a top_k small enough to saturate
+    (random weights pass thousands of candidates at 0.05), the auto audit
+    re-runs the saturated images at 2x top_k and reports the mAP delta in
+    the result instead of advising a manual re-run."""
+    import cv2
+
+    from yolov3_tpu.graph import load_graph
+    from yolov3_tpu.weights import random_raw, write_weights
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=21))
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(7)
+    cv2.imwrite(str(img_dir / "a.jpg"),
+                rng.integers(0, 256, (240, 320, 3), dtype=np.uint8))
+    ann = {"images": [{"id": 5, "file_name": "a.jpg", "height": 240,
+                       "width": 320}],
+           "annotations": [{"id": 1, "image_id": 5, "category_id": 1,
+                            "bbox": [10, 10, 80, 60], "iscrowd": 0}],
+           "categories": [{"id": 1, "name": "person"}]}
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps(ann))
+
+    res = run_model_on_coco(img_dir, ann_path, cfg_paths["yolov3-tiny"],
+                            wpath, prob_thresh=0.05, batch_size=1, top_k=4)
+    assert res["saturated_images"] >= 1  # K=4 must saturate on random weights
+    audit = res["audit"]
+    assert audit["top_k"] == 8
+    assert audit["sample_images"] == 1
+    assert np.isfinite(audit["mAP50_delta"])
+    assert np.isfinite(audit["mAP50_95_delta"])
+
+
 def test_eval_cli_main(tmp_path, cfg_paths, capsys, monkeypatch):
     """tools/eval_coco.py CLI entry prints the mAP JSON line."""
     import cv2

@@ -55,6 +55,27 @@ def test_matches_device_letterbox(rng):
     assert np.abs(host_f - dev).max() < 0.02
 
 
+def test_pad_contract_device_matches_native(rng):
+    """One pad contract (round-2 verdict weak #6): device letterbox pad
+    pixels must be BIT-IDENTICAL to the normalized C++ loader pad (128/255)
+    — detect_batch and detect_mixed must agree exactly at the pad seam."""
+    import jax.numpy as jnp
+
+    from yolov3_tpu.ops.preprocess import PAD_FLOAT, PAD_UINT8, preprocess
+
+    assert native.PAD_VALUE == PAD_UINT8 == 128
+    img = rng.integers(0, 256, (1, 480, 640, 3), dtype=np.uint8)
+    host = native.letterbox_batch_native(img, (416, 416), swap_rb=False)
+    host_f = host.astype(np.float32) * np.float32(1.0 / 255.0)
+    dev = np.asarray(preprocess(jnp.asarray(img), (416, 416)))
+    pad_top = (416 - 312) // 2
+    # pad rows: exact equality (the contract), content rows: resize tolerance
+    np.testing.assert_array_equal(dev[0, :pad_top], host_f[0, :pad_top])
+    np.testing.assert_array_equal(dev[0, pad_top + 312:],
+                                  host_f[0, pad_top + 312:])
+    assert dev[0, 0, 0, 0] == np.float32(PAD_FLOAT)
+
+
 def test_half_pixel_rounding_matches_python(rng):
     """Regression: 832x501→416 hits an exact .5 resize (250.5 rows); the C++
     loader and letterbox_params must round identically or unmapping shifts

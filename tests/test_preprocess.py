@@ -6,7 +6,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from yolov3_tpu.ops.preprocess import preprocess, preprocess_host
+from yolov3_tpu.ops.preprocess import PAD_FLOAT, preprocess, preprocess_host
 from yolov3_tpu.utils.boxes import (
     cxywh_to_tlbr, letterbox_params, tlbr_to_cxywh, unletterbox_tlbr,
     unstretch_tlbr,
@@ -22,9 +22,10 @@ def test_letterbox_geometry_landscape():
     img = np.full((1, 720, 1280, 3), 255, dtype=np.uint8)
     out = np.asarray(preprocess(jnp.asarray(img), (416, 416)))
     assert out.shape == (1, 416, 416, 3)
-    # pad rows are gray 0.5, content rows are 1.0
-    assert np.allclose(out[0, :91], 0.5)
-    assert np.allclose(out[0, 91 + 234:], 0.5)
+    # pad rows are gray 128/255 (one uint8-exact contract across
+    # device/C++/cv2 paths), content rows are 1.0
+    assert np.allclose(out[0, :91], PAD_FLOAT)
+    assert np.allclose(out[0, 91 + 234:], PAD_FLOAT)
     assert np.allclose(out[0, 91:91 + 234], 1.0)
 
 
@@ -36,7 +37,7 @@ def test_letterbox_geometry_portrait():
     img = np.zeros((2, 1280, 720, 3), dtype=np.uint8)
     out = np.asarray(preprocess(jnp.asarray(img), (608, 608)))
     assert out.shape == (2, 608, 608, 3)
-    assert np.allclose(out[:, :, :pad_left], 0.5)
+    assert np.allclose(out[:, :, :pad_left], PAD_FLOAT)
 
 
 def test_half_pixel_rounding_device_and_host():
@@ -55,10 +56,10 @@ def test_half_pixel_rounding_device_and_host():
     assert (new_h, new_w) == (251, 416)
     for out in (np.asarray(preprocess(jnp.asarray(img), (416, 416))),
                 preprocess_host(img, (416, 416))):
-        assert np.allclose(out[0, :pad_top], 0.5)
-        assert np.allclose(out[0, pad_top + new_h:], 0.5)
-        assert not np.allclose(out[0, pad_top], 0.5)
-        assert not np.allclose(out[0, pad_top + new_h - 1], 0.5)
+        assert np.allclose(out[0, :pad_top], PAD_FLOAT)
+        assert np.allclose(out[0, pad_top + new_h:], PAD_FLOAT)
+        assert not np.allclose(out[0, pad_top], PAD_FLOAT)
+        assert not np.allclose(out[0, pad_top + new_h - 1], PAD_FLOAT)
 
 
 def test_square_input_no_padding():
@@ -66,7 +67,7 @@ def test_square_input_no_padding():
     img = rng.integers(0, 256, (1, 832, 832, 3), dtype=np.uint8)
     out = np.asarray(preprocess(jnp.asarray(img), (416, 416)))
     assert out.min() >= 0 and out.max() <= 1
-    assert not np.allclose(out, 0.5)
+    assert not np.allclose(out, PAD_FLOAT)
 
 
 def test_device_matches_host_cv2():
@@ -77,7 +78,8 @@ def test_device_matches_host_cv2():
     host = preprocess_host(img, (416, 416))
     assert np.abs(dev - host).max() < 0.02  # cv2 fixed-point tolerance
     # identical pad placement
-    assert np.array_equal(dev == 0.5, host == 0.5) or np.abs(dev - host).max() < 0.02
+    assert (np.array_equal(dev == PAD_FLOAT, host == PAD_FLOAT)
+            or np.abs(dev - host).max() < 0.02)
 
 
 def test_stretch_mode_matches_cv2():

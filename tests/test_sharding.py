@@ -185,6 +185,62 @@ def test_mesh_mixed_and_pipelined_pad_paths(cfg_paths, tmp_path):
     assert sum(len(d) for d in done) == 3
 
 
+_COLLECTIVES = ("all-gather", "all-reduce", "collective-permute",
+                "all-to-all", "reduce-scatter")
+
+
+def test_zero_collectives_in_compiled_hlo(tiny_setup):
+    """Structural pin of the zero-collective DP contract (round-2 verdict
+    next #3): the optimized HLO of the sharded step must contain no
+    collective ops at all — each image's whole pipeline is chip-local and
+    the only cross-chip traffic is the input scatter (which happens in
+    device_put, outside this executable). Behavioral mesh tests cannot
+    catch a regression here: GSPMD silently all-gathers around the Pallas
+    custom calls and still produces correct values."""
+    g, params = tiny_setup
+    mesh = make_mesh(8)
+    run = sharded_pipeline(g, mesh, net_hw=(160, 160), top_k=32)
+    frames = jax.device_put(jnp.zeros((8, 96, 128, 3), jnp.uint8),
+                            batch_sharding(mesh, 4))
+    hlo = run.lower(shard_params(params, mesh), frames).compile().as_text()
+    found = [c for c in _COLLECTIVES if c in hlo]
+    assert not found, (f"sharded pipeline compiled with collectives {found} "
+                       "— the shard_map zero-collective contract regressed "
+                       "(parallel/sharding.py)")
+
+
+def test_plain_jit_would_insert_collectives(tiny_setup):
+    """Sensitivity check for the structural test above: the SAME step under
+    plain jit + GSPMD propagation does compile collectives (the all-gather
+    around the Pallas decode custom call) — proving the zero-collective
+    assertion actually distinguishes shard_map from the jit regression it
+    guards against, rather than passing vacuously."""
+    from jax.sharding import PartitionSpec
+
+    from yolov3_tpu.model import forward_packed
+    from yolov3_tpu.ops.nms import batched_nms_packed
+    from yolov3_tpu.ops.preprocess import preprocess
+
+    g, params = tiny_setup
+    mesh = make_mesh(8)
+
+    def step(params, frames_u8):
+        x = preprocess(frames_u8[..., ::-1], (160, 160))
+        payload, scores = forward_packed(g, params, x, prob_thresh=0.05)
+        return batched_nms_packed(payload, scores, top_k=32)
+
+    jitted = jax.jit(step, in_shardings=(replicate(mesh),
+                                         batch_sharding(mesh, 4)))
+    frames = jax.device_put(jnp.zeros((8, 96, 128, 3), jnp.uint8),
+                            batch_sharding(mesh, 4))
+    hlo = jitted.lower(shard_params(params, mesh),
+                       frames).compile().as_text()
+    assert any(c in hlo for c in _COLLECTIVES), (
+        "expected GSPMD to insert collectives around the Pallas custom "
+        "call under plain jit; if XLA learned to partition it, revisit "
+        "whether shard_map is still required (parallel/sharding.py)")
+
+
 def test_orbax_param_roundtrip(cfg_paths, tmp_path):
     from yolov3_tpu.weights import (fold_raw, load_params_orbax, random_raw,
                                     save_params_orbax)

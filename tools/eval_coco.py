@@ -123,7 +123,8 @@ def evaluate(detections, ground_truth, iou_thresholds=None):
 
 def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
                       iou_thresh=0.45, batch_size=16, limit=None,
-                      precision=None, top_k=1024):
+                      precision=None, top_k=1024, audit="auto",
+                      audit_sample=32):
     import cv2
 
     from yolov3_tpu.inference import Detector
@@ -164,7 +165,16 @@ def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
 
     detections = {}
     saturated = [0, 0]  # [exact, near]
+    sat_ids = []        # image ids that hit/approached the cap (audit sample)
     frames, metas = [], []
+
+    def to_by_cls(r):
+        by_cls = defaultdict(lambda: ([], []))
+        for box, score, cls in zip(r.bbox_tlbr, r.class_prob, r.class_idx):
+            by_cls[int(cls)][0].append(box)
+            by_cls[int(cls)][1].append(float(score))
+        return {c: (np.asarray(b), np.asarray(s))
+                for c, (b, s) in by_cls.items()}
 
     def flush():
         if not frames:
@@ -173,22 +183,21 @@ def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
         for (img_id,), r in zip(metas, results):
             if len(r.bbox_tlbr) >= top_k:
                 saturated[0] += 1
+                sat_ids.append(img_id)
             elif len(r.bbox_tlbr) >= top_k - top_k // 8:
                 saturated[1] += 1
-            by_cls = defaultdict(lambda: ([], []))
-            for box, score, cls in zip(r.bbox_tlbr, r.class_prob, r.class_idx):
-                by_cls[int(cls)][0].append(box)
-                by_cls[int(cls)][1].append(float(score))
-            detections[img_id] = {
-                c: (np.asarray(b), np.asarray(s)) for c, (b, s) in by_cls.items()}
+                sat_ids.append(img_id)
+            detections[img_id] = to_by_cls(r)
         frames.clear()
         metas.clear()
 
+    id_to_file = {}
     for info in images:
         path = Path(images_dir) / info["file_name"]
         frame = cv2.imread(str(path))
         if frame is None:
             continue
+        id_to_file[info["id"]] = path
         frames.append(frame)
         metas.append((info["id"],))
         if len(frames) >= batch_size:
@@ -202,9 +211,44 @@ def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
     out["near_saturated_images"] = saturated[1]
     if saturated[0] or saturated[1]:
         print(f"WARNING: {saturated[0]} image(s) hit and {saturated[1]} "
-              f"approached the top_k={top_k} candidate cap — raise --top-k "
-              f"and re-run (zero counts are necessary, not sufficient: "
-              f"audit with 2x --top-k on a sample)", flush=True)
+              f"approached the top_k={top_k} candidate cap "
+              f"(truncation-audit re-run follows)", flush=True)
+
+    # Truncation audit (round-2 verdict next #5): the saturation signals are
+    # one-sided — they prove truncation but cannot prove its absence. On any
+    # nonzero count (audit="auto") or unconditionally (audit="always"),
+    # re-run a sample at 2× top-k and report the resulting mAP delta in the
+    # output instead of advising a manual re-run. A near-zero delta means
+    # the truncated tail carried no mAP mass; a material delta means raise
+    # --top-k and re-run the full set.
+    run_audit = audit == "always" or (audit == "auto"
+                                      and (saturated[0] or saturated[1]))
+    if run_audit:
+        sample_ids = (sat_ids or list(id_to_file))[:audit_sample]
+        sample_ids = [i for i in sample_ids if i in id_to_file]
+        if sample_ids:
+            det2 = Detector(net, prob_thresh=prob_thresh,
+                            iou_thresh=iou_thresh, top_k=2 * top_k,
+                            max_results=0)
+            sample_frames = [cv2.imread(str(id_to_file[i]))
+                             for i in sample_ids]
+            redone = det2.detect_mixed(sample_frames)
+            detections2 = dict(detections)
+            for img_id, r in zip(sample_ids, redone):
+                detections2[img_id] = to_by_cls(r)
+            out2 = evaluate(detections2, gt_np)
+            out["audit"] = {
+                "sample_images": len(sample_ids),
+                "top_k": 2 * top_k,
+                "mAP50_delta": round(out2["mAP50"] - out["mAP50"], 6),
+                "mAP50_95_delta": round(out2["mAP50_95"] - out["mAP50_95"],
+                                        6),
+            }
+            if abs(out["audit"]["mAP50_delta"]) > 1e-4:
+                print(f"WARNING: 2x-top-k audit moved mAP50 by "
+                      f"{out['audit']['mAP50_delta']:+.4f} — top_k={top_k} "
+                      f"is truncating mAP mass; raise --top-k and re-run "
+                      f"the full set", flush=True)
     return out
 
 
@@ -224,15 +268,24 @@ def main():
                          "top-K by score are truncated. Raise whenever "
                          "saturated/near_saturated counts are nonzero; zero "
                          "counts do NOT prove no truncation (the signals are "
-                         "one-sided) — audit with 2x --top-k on a sample")
+                         "one-sided) — the 2x-top-k audit measures it")
+    ap.add_argument("--audit", choices=("auto", "always", "off"),
+                    default="auto",
+                    help="2x-top-k truncation audit: 'auto' re-runs the "
+                         "saturated images at 2x --top-k whenever the "
+                         "saturation counters are nonzero; 'always' audits a "
+                         "sample unconditionally; 'off' disables")
     args = ap.parse_args()
 
     res = run_model_on_coco(args.images, args.annotations, args.config,
                             args.weights, args.prob_thresh, args.iou_thresh,
                             args.batch_size, args.limit, args.precision,
-                            args.top_k)
-    print(json.dumps({"mAP50": round(res["mAP50"], 4),
-                      "mAP50_95": round(res["mAP50_95"], 4)}))
+                            args.top_k, audit=args.audit)
+    line = {"mAP50": round(res["mAP50"], 4),
+            "mAP50_95": round(res["mAP50_95"], 4)}
+    if "audit" in res:
+        line["audit"] = res["audit"]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

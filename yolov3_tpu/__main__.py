@@ -50,10 +50,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device batch for --image-dir / video batching")
     p.add_argument("--frame-batch", type=int, default=1,
                    help="frames per device step for --video")
-    p.add_argument("--pipeline-depth", type=int, default=0,
-                   help="frames kept in flight on the device for --cam "
-                        "(overlaps dispatch with draw/show; display lags by "
-                        "this many frames; 0 = synchronous)")
+    p.add_argument("--pipeline-depth", type=int, default=None,
+                   help="batches kept in flight on the device for --cam / "
+                        "--video (overlaps dispatch with draw/show/encode; "
+                        "output lags by this many batches; 0 = synchronous; "
+                        "default: 0 for --cam, 1 for --video)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the run into DIR "
+                        "(xprof/tensorboard format) and print host-side "
+                        "per-stage timings where the entry point records "
+                        "them (SURVEY.md §5.1)")
     p.add_argument("--output-fps", type=float, default=None,
                    help="container FPS for --cam --output recordings "
                         "(default: the measured loop rate over a short "
@@ -175,36 +181,52 @@ def main(argv=None) -> int:
     class_names = (load_class_names(args.class_names)
                    if Path(args.class_names).exists() else None)
 
-    if args.image:
-        result = detect_image(detector, args.image, class_names=class_names,
-                              output_path=args.output, show=not args.no_show,
-                              verbose=args.verbose)
-        for box, prob, cls in zip(result.bbox_tlbr, result.class_prob,
-                                  result.class_idx):
-            name = (class_names[int(cls)] if class_names else str(int(cls)))
-            print(f"{name:20s} {prob:.3f}  tlbr=({box[0]:.0f},{box[1]:.0f},"
-                  f"{box[2]:.0f},{box[3]:.0f})")
-    elif args.image_dir:
-        if args.output:
-            Path(args.output).mkdir(parents=True, exist_ok=True)
-        results = detect_directory(detector, args.image_dir,
-                                   batch_size=args.batch_size,
-                                   class_names=class_names,
-                                   output_dir=args.output, verbose=True)
-        total = sum(len(r.bbox_tlbr) for r in results.values())
-        print(f"{len(results)} images, {total} detections")
-    elif args.video:
-        detect_in_video(detector, args.video, class_names=class_names,
-                        output_path=args.output, show=not args.no_show,
-                        show_fps=args.show_fps, frame_batch=args.frame_batch,
-                        verbose=True)
-    else:
-        cam = int(args.cam) if str(args.cam).isdigit() else args.cam
-        detect_in_cam(detector, cam, class_names=class_names,
-                      show_fps=args.show_fps, output_path=args.output,
-                      show=not args.no_show,
-                      pipeline_depth=args.pipeline_depth,
-                      output_fps=args.output_fps)
+    import contextlib
+
+    # jax.profiler.trace works through the axon relay (host + device planes;
+    # verified on-chip round 3) — one trace wraps the whole dispatch so
+    # compile, H2D and steps all land in the same xprof session
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+    with prof:
+        if args.image:
+            result = detect_image(detector, args.image,
+                                  class_names=class_names,
+                                  output_path=args.output,
+                                  show=not args.no_show,
+                                  verbose=args.verbose)
+            for box, prob, cls in zip(result.bbox_tlbr, result.class_prob,
+                                      result.class_idx):
+                name = (class_names[int(cls)] if class_names
+                        else str(int(cls)))
+                print(f"{name:20s} {prob:.3f}  tlbr=({box[0]:.0f},"
+                      f"{box[1]:.0f},{box[2]:.0f},{box[3]:.0f})")
+        elif args.image_dir:
+            if args.output:
+                Path(args.output).mkdir(parents=True, exist_ok=True)
+            results = detect_directory(detector, args.image_dir,
+                                       batch_size=args.batch_size,
+                                       class_names=class_names,
+                                       output_dir=args.output, verbose=True)
+            total = sum(len(r.bbox_tlbr) for r in results.values())
+            print(f"{len(results)} images, {total} detections")
+        elif args.video:
+            detect_in_video(detector, args.video, class_names=class_names,
+                            output_path=args.output, show=not args.no_show,
+                            show_fps=args.show_fps,
+                            frame_batch=args.frame_batch,
+                            pipeline_depth=(1 if args.pipeline_depth is None
+                                            else args.pipeline_depth),
+                            verbose=True)
+        else:
+            cam = int(args.cam) if str(args.cam).isdigit() else args.cam
+            detect_in_cam(detector, cam, class_names=class_names,
+                          show_fps=args.show_fps, output_path=args.output,
+                          show=not args.no_show,
+                          pipeline_depth=args.pipeline_depth or 0,
+                          output_fps=args.output_fps)
+    if args.profile:
+        print(f"profiler trace written to {args.profile}")
     return 0
 
 

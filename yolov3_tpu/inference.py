@@ -612,7 +612,7 @@ def detect_directory(detector: Detector, dir_path, batch_size: int = 32,
 def detect_in_video(detector: Detector, filepath, class_names=None,
                     output_path=None, show: bool = False,
                     show_fps: bool = False, frame_batch: int = 1,
-                    verbose: bool = False):
+                    pipeline_depth: int = 1, verbose: bool = False):
     """Video-file streaming pipeline (BASELINE config #4; reference
     ``detect_in_video``, SURVEY.md §3.3 — every frame processed, optional
     annotated output video).
@@ -620,9 +620,14 @@ def detect_in_video(detector: Detector, filepath, class_names=None,
     TPU-native structure (SURVEY.md §7 phase 4): a capture thread decodes
     ahead into a bounded queue; the main thread assembles ``frame_batch``
     frames, dispatches the device step **asynchronously** (JAX async
-    dispatch), and only materializes batch i's results after batch i+1 is
-    enqueued — device compute overlaps host decode/draw/encode. cv2 releases
-    the GIL inside native calls, so the threads genuinely overlap.
+    dispatch), and materializes batch i's results only once
+    ``pipeline_depth`` newer batches are enqueued — device compute overlaps
+    host decode/draw/encode. cv2 releases the GIL inside native calls, so
+    the threads genuinely overlap. ``pipeline_depth`` mirrors
+    ``detect_in_cam``'s flag: deeper pipelines hide more dispatch latency
+    (useful on this environment's ~25-30 ms relay round trip) at the cost of
+    ``depth × frame_batch`` frames of extra output lag; 0 = fully
+    synchronous.
     """
     import queue as queue_mod
     import threading
@@ -702,7 +707,8 @@ def detect_in_video(detector: Detector, filepath, class_names=None,
             n += 1
 
     n = 0
-    in_flight = None  # (frames, device NMSResult) not yet materialized
+    depth = max(0, int(pipeline_depth))
+    in_flight: List[Tuple[List[np.ndarray], object]] = []  # oldest first
     try:
         eof = False
         while not eof:
@@ -724,12 +730,12 @@ def detect_in_video(detector: Detector, filepath, class_names=None,
                     device_frames, b, _ = detector._stage_batch(batch)
                     run = detector._pipeline(b, (h, w))
                     res = run(detector.net.params, device_frames)  # async
-                if in_flight is not None:
+                in_flight.append((frames, res))
+                while len(in_flight) > depth:
                     with timers.stage("drain+draw+encode"):
-                        _drain(*in_flight)  # materialize i while i+1 computes
-                in_flight = (frames[:len(frames)], res)
-        if in_flight is not None:
-            _drain(*in_flight)
+                        _drain(*in_flight.pop(0))  # i while i+depth computes
+        while in_flight:
+            _drain(*in_flight.pop(0))
     finally:
         stop.set()  # reader releases the capture itself (it owns it)
         if writer is not None:

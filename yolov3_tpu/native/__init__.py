@@ -18,12 +18,12 @@ _SO = _SRC.parent / "libpreproc.so"
 _lib = None
 _tried = False
 
-# uint8 letterbox pad. The device/float paths pad exactly 0.5 (darknet
-# convention); 0.5 is NOT representable in uint8 (127.5), so this path is a
-# half-LSB off (128/255 ≈ 0.50196) on pad pixels only — consistent with the
-# path's own uint8 quantization and its ±1 LSB-vs-cv2 parity contract
-# (tests/test_native_preproc.py), but NOT bit-identical to the device
-# letterbox borders. (Round-2 review: the old comment claimed equality.)
+# uint8 letterbox pad. One pad contract framework-wide (round-3): darknet's
+# float convention 0.5 is NOT representable in uint8 (127.5), so EVERY path
+# pads 128/255 — this loader pads 128 in uint8, and the device/cv2 float
+# paths pad ops.preprocess.PAD_FLOAT = 128/255, making the normalized
+# borders bit-identical across detect_batch/detect_mixed (pinned by
+# tests/test_native_preproc.py::test_pad_contract_device_matches_native).
 PAD_VALUE = 128
 
 

@@ -224,6 +224,15 @@ def _select_pairmax(boxes: jax.Array, masked: jax.Array, classes: jax.Array,
     lax.top_k bit-for-bit, tie-heavy cases included (tests/test_nms.py).
     """
     b, n = masked.shape
+    if n >= 2 ** 24:
+        # the f32 candidate-index lane is exact only below 2^24; fall back
+        # to the direct top_k form (bit-identical results) above it rather
+        # than silently mis-breaking ties (static shape — free at trace time)
+        top_scores, top_i = lax.top_k(masked, k)
+        return (jnp.take_along_axis(boxes, top_i[..., None], axis=1),
+                top_scores,
+                jnp.take_along_axis(classes, top_i, axis=1),
+                top_scores > 0.0)
     iota = lax.broadcasted_iota(jnp.float32, (b, n), 1)  # < 2^24: exact f32
     # packed per-candidate payload: one gather moves everything
     payload = jnp.concatenate(
@@ -240,6 +249,13 @@ def _select_pairmax_payload(payload: jax.Array, masked: jax.Array, k: int):
     the fused decode kernel zeroes it in-kernel); an unthresholded lane 4
     would let sub-threshold candidates through the final sort as valid."""
     b, n = masked.shape
+    # lane 6 (candidate index) is f32 — exact only below 2^24. The payload's
+    # index was computed upstream (in-kernel), so there is no exact fallback
+    # here; no real head layout comes near this (N=22743 @608). Static shape:
+    # the assert is free at trace time.
+    assert n < 2 ** 24, (
+        f"pair-max payload selection requires N < 2^24 for exact f32 "
+        f"indices; got N={n}")
     np2 = (n + 1) // 2 * 2
     if np2 != n:
         payload = jnp.pad(payload, ((0, 0), (0, np2 - n), (0, 0)))

@@ -26,10 +26,14 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # moved between jax versions
+try:  # public location since jax 0.8 (kw: check_vma)
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_rep)
+except ImportError:  # pragma: no cover - older jax (kw: check_rep)
     from jax.experimental.shard_map import shard_map
-except ImportError:  # pragma: no cover - newer jax
-    from jax import shard_map
 
 DATA_AXIS = "data"
 
