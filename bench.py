@@ -61,21 +61,26 @@ def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
     float(run(dev_params, batches[-1])[0])
     # best of 2 timed blocks: a single relay-RTT outlier inside one sync
     # block otherwise drags a whole row 10-20% low (observed on the fast
-    # @416 rows at the end of long runs)
-    best = 0.0
+    # @416 rows at the end of long runs). Per-block rates are returned so
+    # the estimator is transparent (ADVICE.md round 2: block[0] alone IS
+    # the round-1 single-block estimator — deltas stay comparable).
+    blocks = []
     for _ in range(2):
         t0 = time.perf_counter()
         outs = [run(dev_params, b) for b in batches]  # enqueue all (pipelined)
         for o in outs:
             float(o[0])
         dt = time.perf_counter() - t0
-        best = max(best, frames.shape[0] * iters / dt)
-    return best
+        blocks.append(frames.shape[0] * iters / dt)
+    return max(blocks), blocks
 
 
-def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05):
+def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
+                     quantize_heads=False):
     """int8 PTQ path (calibrated on random frames — throughput-only here;
-    accuracy calibration uses real images via Darknet.quantize_int8)."""
+    accuracy calibration uses real images via Darknet.quantize_int8).
+    ``quantize_heads`` also int8s the no-BN head projections (round 3;
+    parity gates in tests/test_quant.py::test_head_quantization_*)."""
     import jax
     import jax.numpy as jnp
 
@@ -90,7 +95,8 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05):
     calib = [preprocess(jnp.asarray(
         rng.integers(0, 256, (8, *net_hw, 3), dtype=np.uint8)), net_hw)]
     scales = calibrate_tensors(graph, dev_params, calib, precision="bf16")
-    qparams = jax.device_put(quantize_weights(graph, dev_params))
+    qparams = jax.device_put(quantize_weights(graph, dev_params,
+                                              include_heads=quantize_heads))
 
     @jax.jit
     def run(qparams, frames_u8):
@@ -106,14 +112,14 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05):
                for _ in range(iters)]
     float(run(qparams, batches[0])[0])
     float(run(qparams, batches[-1])[0])
-    best = 0.0
+    blocks = []
     for _ in range(2):  # best of 2 blocks (see measure_tpu)
         t0 = time.perf_counter()
         outs = [run(qparams, b) for b in batches]
         for o in outs:
             float(o[0])
-        best = max(best, frames.shape[0] * iters / (time.perf_counter() - t0))
-    return best
+        blocks.append(frames.shape[0] * iters / (time.perf_counter() - t0))
+    return max(blocks), blocks
 
 
 def measure_torch_cpu(graph, raw, size, batch, iters):
@@ -178,6 +184,9 @@ def main():
     ap.add_argument("--remeasure-baseline", action="store_true")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the timed loop")
+    ap.add_argument("--int8-heads", action="store_true",
+                    help="quantize the no-BN head projections too on the "
+                         "int8 rows (quant.eligible include_heads)")
     ap.add_argument("--precision", choices=("default", "highest", "bf16",
                                             "int8"),
                     default="bf16",
@@ -219,7 +228,8 @@ def main():
         # fixed dispatch cost and read 20-30% low with run-to-run swings
         iters = args.iters * max(1, round((608 / size) ** 2))
         if prec == "int8":
-            return measure_tpu_int8(graph, prms, frames, iters)
+            return measure_tpu_int8(graph, prms, frames, iters,
+                                    quantize_heads=args.int8_heads)
         return measure_tpu(graph, prms, frames, iters, precision=prec)
 
     # BASELINE.json's tracked metric names BOTH @608 and @416 — default run
@@ -234,14 +244,15 @@ def main():
             import jax
 
             with jax.profiler.trace(args.profile):
-                tpu_ips = measure_at(size, precision, run_params)
+                tpu_ips, blocks = measure_at(size, precision, run_params)
         else:
-            tpu_ips = measure_at(size, precision, run_params)
+            tpu_ips, blocks = measure_at(size, precision, run_params)
         base = torch_baseline(graph, raw, size, batch=min(args.batch, 4),
                               iters=torch_iters,
                               remeasure=args.remeasure_baseline)
         row = {
             "img_s": round(tpu_ips, 2),
+            "blocks": [round(b, 2) for b in blocks],
             "vs_baseline": round(tpu_ips / base["img_s"], 2),
             "baseline_img_s": round(base["img_s"], 4),
             "baseline_std": round(base["std"], 4),
@@ -253,11 +264,12 @@ def main():
     # int8 PTQ row (production fast path; parity gated in tests/test_quant.py)
     if precision == "bf16" and args.size is None and not args.quick:
         for size in sizes:
-            ips = measure_at(size, "int8", params)
+            ips, blocks = measure_at(size, "int8", params)
             base = torch_baseline(graph, raw, size, batch=min(args.batch, 4),
                                   iters=torch_iters)
             rows[f"{graph.name}@{size} batch{args.batch} int8"] = {
                 "img_s": round(ips, 2),
+                "blocks": [round(b, 2) for b in blocks],
                 "vs_baseline": round(ips / base["img_s"], 2),
             }
 

@@ -121,6 +121,52 @@ def test_int8_prenms_parity_with_fp32(setup):
         assert (c32n[i][top] == cqn[i][top]).all()
 
 
+def test_head_quantization_prenms_parity(setup):
+    """quantize_heads=True (round-3): the no-BN head projections quantize
+    too, under the SAME pre-NMS gates as the backbone-only scheme — the
+    head carries the box-regression signal, so any extra rounding must stay
+    under |Δscore| ≤ 0.01, |Δbox| ≤ 0.5 px, zero class flips on the top-200
+    candidates."""
+    g, params, x = setup
+    scales = calibrate(g, params, [x], precision=None, include_heads=True)
+    q = quantize_weights(g, params, include_heads=True)
+    assert "wq" in q[15] and "wq" in q[22]  # tiny's two head convs
+
+    b32, s32, c32 = forward_compact(g, params, x)
+    bq, sq, cq = forward_compact_int8(g, q, scales, x, precision=None)
+    s32n, sqn = np.asarray(s32), np.asarray(sq)
+    b32n, bqn = np.asarray(b32), np.asarray(bq)
+    c32n, cqn = np.asarray(c32), np.asarray(cq)
+    for i in range(x.shape[0]):
+        top = np.argsort(s32n[i])[::-1][:200]
+        assert np.abs(s32n[i][top] - sqn[i][top]).max() <= 0.01
+        assert np.abs(b32n[i][top] - bqn[i][top]).max() <= 0.5
+        assert (c32n[i][top] == cqn[i][top]).all()
+
+
+def test_head_quantization_carrier_prenms_parity(setup):
+    """quantize_heads with the int8 activation carrier (the serving
+    configuration): per-tensor scales already cover every node, so only the
+    qparams change; same pre-NMS gates."""
+    from yolov3_tpu.quant import calibrate_tensors, forward_compact_int8
+
+    g, params, x = setup
+    scales = calibrate_tensors(g, params, [x], precision=None)
+    q = quantize_weights(g, params, include_heads=True)
+
+    b32, s32, c32 = forward_compact(g, params, x)
+    bq, sq, cq = forward_compact_int8(g, q, scales, x, precision=None,
+                                      carrier="int8")
+    s32n, sqn = np.asarray(s32), np.asarray(sq)
+    b32n, bqn = np.asarray(b32), np.asarray(bq)
+    c32n, cqn = np.asarray(c32), np.asarray(cq)
+    for i in range(x.shape[0]):
+        top = np.argsort(s32n[i])[::-1][:200]
+        assert np.abs(s32n[i][top] - sqn[i][top]).max() <= 0.01
+        assert np.abs(b32n[i][top] - bqn[i][top]).max() <= 0.5
+        assert (c32n[i][top] == cqn[i][top]).all()
+
+
 def test_chain_targets_structure(cfg_paths):
     """yolov3's residual bottleneck 1x1s chain into their 3x3 consumers."""
     from yolov3_tpu.quant import chain_targets

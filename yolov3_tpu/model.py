@@ -241,8 +241,8 @@ class Darknet:
         return self.qparams is not None
 
     def quantize_int8(self, calibration_frames, net_hw=None,
-                      mode: str = "letterbox",
-                      carrier: str = "int8") -> "Darknet":
+                      mode: str = "letterbox", carrier: str = "int8",
+                      quantize_heads: bool = False) -> "Darknet":
         """Post-training int8 quantization (see ``quant.py``).
 
         ``calibration_frames``: (N, H, W, 3) uint8 RGB frames (a few dozen
@@ -252,7 +252,8 @@ class Darknet:
         into producer epilogues, half the inter-op traffic (quant.py,
         ``forward_features_int8_carrier``); ``carrier="bf16"`` quantizes at
         each conv input (round-1 scheme). Both hold the same parity gates
-        (tests/test_quant.py)."""
+        (tests/test_quant.py). ``quantize_heads=True`` also quantizes the
+        no-BN head projections (see ``quant.eligible``)."""
         from .ops.preprocess import preprocess
         from .quant import calibrate, calibrate_tensors, quantize_weights
 
@@ -268,11 +269,18 @@ class Darknet:
             frames = jnp.asarray(calibration_frames)
             batches = [preprocess(frames[i:i + 8], net_hw, mode=mode)
                        for i in range(0, frames.shape[0], 8)]
-        calib = calibrate_tensors if carrier == "int8" else calibrate
-        self.act_scales = calib(self.graph, self.params, batches,
-                                precision=self.precision or "bf16")
+        if carrier == "int8":
+            self.act_scales = calibrate_tensors(
+                self.graph, self.params, batches,
+                precision=self.precision or "bf16")
+        else:
+            self.act_scales = calibrate(
+                self.graph, self.params, batches,
+                precision=self.precision or "bf16",
+                include_heads=quantize_heads)
         self.qcarrier = carrier
-        self.qparams = quantize_weights(self.graph, self.params)
+        self.qparams = quantize_weights(self.graph, self.params,
+                                        include_heads=quantize_heads)
         return self
 
     @property

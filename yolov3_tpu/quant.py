@@ -37,14 +37,23 @@ from .graph import Graph, Node
 from .model import _maxpool, _upsample_nearest, _PRECISIONS
 
 
-def eligible(graph: Graph, node: Node) -> bool:
-    """Quantize BN'd convs only (stem has Cin=3; no-BN head convs stay bf16)."""
+def eligible(graph: Graph, node: Node, include_heads: bool = False) -> bool:
+    """Quantize BN'd convs (stem has Cin=3 and stays bf16 — layout-bound,
+    not MXU-bound). ``include_heads=True`` additionally quantizes the no-BN
+    linear head convs (the 1×1 projections feeding each yolo decode): their
+    input quantizes per-tensor like every other conv and their f32 output
+    feeds decode directly (never requantized — yolo heads are not
+    q-friendly), so the only added error is the weight/input rounding.
+    Accuracy is gated by tests/test_quant.py::test_head_quantization_*."""
     src = node.inputs[0]
     c_in = graph.in_channels if src < 0 else graph.nodes[src].out_channels
-    return node.batch_normalize and c_in >= 16
+    if not node.batch_normalize and not include_heads:
+        return False
+    return c_in >= 16
 
 
-def quantize_weights(graph: Graph, params) -> Dict[int, Dict[str, jax.Array]]:
+def quantize_weights(graph: Graph, params, include_heads: bool = False
+                     ) -> Dict[int, Dict[str, jax.Array]]:
     """Per-output-channel symmetric int8 quantization of folded conv weights.
 
     Returns qparams: eligible convs get {"wq" int8 HWIO, "sw" (C,) f32,
@@ -53,7 +62,7 @@ def quantize_weights(graph: Graph, params) -> Dict[int, Dict[str, jax.Array]]:
     q: Dict[int, Dict[str, jax.Array]] = {}
     for node in graph.conv_nodes:
         p = params[node.index]
-        if not eligible(graph, node):
+        if not eligible(graph, node, include_heads):
             q[node.index] = {"w": jnp.asarray(p["w"]),
                              "b": jnp.asarray(p["b"], jnp.float32)}
             continue
@@ -162,7 +171,8 @@ def _maxpool_int8(x: jax.Array, node: Node) -> jax.Array:
 
 def forward_features_int8_carrier(
         graph: Graph, qparams, tensor_scales: Dict[int, float], x: jax.Array,
-        precision: Optional[str] = "bf16") -> List[jax.Array]:
+        precision: Optional[str] = "bf16",
+        upto: Optional[int] = None) -> List[jax.Array]:
     """int8 graph walk with an **int8 activation carrier** (round 2).
 
     The bf16-carrier walk (:func:`forward_features_int8`) quantizes each
@@ -186,17 +196,39 @@ def forward_features_int8_carrier(
     OUTPUT (see :func:`calibrate_tensors`). Numerics differ slightly from
     the bf16 carrier (skip-edge operands are read quantized); accuracy is
     gated by the same tests/test_quant.py contract.
+
+    ``upto``: truncate the walk after ``graph.nodes[:upto]`` and append the
+    last live activation (dequantized to the carrier dtype) to the returned
+    list — used by ``tools/profile_int8.py`` to measure cumulative stage
+    cost of exactly the program the full walk runs (quantization decisions
+    still come from the FULL graph's consumer sets).
     """
     prec = _PRECISIONS[precision]
     needed = graph.needed_outputs
     cons = consumers_of(graph)
     carrier_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
-    def q_friendly(n: Node) -> bool:
-        if n.kind in ("shortcut", "route", "maxpool", "upsample"):
-            return True
-        return (n.kind == "convolutional"
-                and "wq" in qparams.get(n.index, {}))
+    # q_friendly[i]: node i genuinely absorbs an int8 operand. Quantized
+    # convs and scale-resolving joins (shortcut, multi-input route) consume
+    # int8 natively. PASS-THROUGH ops (maxpool/upsample/single-input route)
+    # forward the carrier unchanged, so they are friendly only if ALL of
+    # their own consumers are — computed transitively in reverse topological
+    # order (graph.nodes is topo-ordered; skip edges only point backward).
+    # Without the transitive check, an int8 tensor could flow through a
+    # pass-through into a bf16 consumer, reintroducing the lossy
+    # quantize→dequantize round trip want_q exists to prevent.
+    q_friendly: Dict[int, bool] = {}
+    for n in reversed(graph.nodes):
+        if n.kind == "convolutional":
+            ok = "wq" in qparams.get(n.index, {})
+        elif n.kind == "shortcut" or (n.kind == "route" and len(n.inputs) > 1):
+            ok = True
+        elif n.kind in ("maxpool", "upsample", "route"):
+            ncs = cons[n.index]
+            ok = bool(ncs) and all(q_friendly[c.index] for c in ncs)
+        else:  # yolo heads read the carrier dtype
+            ok = False
+        q_friendly[n.index] = ok
 
     def want_q(node: Node) -> bool:
         """Emit int8 for this node's output?"""
@@ -206,7 +238,7 @@ def forward_features_int8_carrier(
         # ALL consumers must read int8 — a mixed edge would silently add a
         # quantize→dequantize round trip on the bf16 consumer's operand
         # (accuracy loss for zero traffic gain on that edge)
-        return bool(cs) and all(q_friendly(c) for c in cs)
+        return bool(cs) and all(q_friendly[c.index] for c in cs)
 
     # values: ("q", int8 array, scale) or ("f", carrier array)
     cache: Dict[int, tuple] = {}
@@ -218,7 +250,7 @@ def forward_features_int8_carrier(
             return v[1]
         return (v[1].astype(jnp.float32) * v[2]).astype(carrier_dtype)
 
-    for node in graph.nodes:
+    for node in (graph.nodes if upto is None else graph.nodes[:upto]):
         if node.kind == "convolutional":
             qp = qparams[node.index]
             if "wq" in qp:
@@ -288,6 +320,8 @@ def forward_features_int8_carrier(
         if node.index in needed:
             cache[node.index] = out
         prev = out
+    if upto is not None:
+        return heads + [as_f(prev)]
     return heads
 
 
@@ -390,15 +424,16 @@ def forward_packed_int8(graph: Graph, qparams, scales, x, prob_thresh: float,
         yolo_nodes[0].classes, prob_thresh=prob_thresh)
 
 
-def calibrate(graph: Graph, params, batches, precision: Optional[str] = "bf16"
-              ) -> Dict[int, float]:
+def calibrate(graph: Graph, params, batches, precision: Optional[str] = "bf16",
+              include_heads: bool = False) -> Dict[int, float]:
     """Run calibration batches through the fp/bf16 graph recording the
     abs-max input of every eligible conv; returns {conv index: scale}.
 
     ``batches``: iterable of (B, H, W, C) float arrays in [0, 1] (already
     preprocessed — use the same letterbox the serving path uses).
     """
-    indices = [n.index for n in graph.conv_nodes if eligible(graph, n)]
+    indices = [n.index for n in graph.conv_nodes
+               if eligible(graph, n, include_heads)]
 
     def absmax_pass(params, x):
         prec = _PRECISIONS[precision]
