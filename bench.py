@@ -194,6 +194,10 @@ def main():
                          "= PTQ fast path; box parity is checked in tests)")
     args = ap.parse_args()
 
+    from tools.bench_clock import enable_compile_cache
+
+    enable_compile_cache()
+
     if args.quick:
         args.cfg, args.size, args.batch, args.iters = ("yolov3-tiny.cfg", 416,
                                                        8, 5)

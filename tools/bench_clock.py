@@ -18,10 +18,27 @@ Two hard-won rules (see docs/DESIGN.md "Measurement methodology"):
 """
 from __future__ import annotations
 
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+def enable_compile_cache():
+    """Persistent XLA compile cache for tools (same dir as the CLI's;
+    repeat profiling/bench runs skip the 1-10 min TPU compiles). Set via
+    jax.config — the env var is latched before main() when a sitecustomize
+    imports jax at interpreter start."""
+    cache_dir = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or os.path.join(os.path.expanduser("~"), ".cache",
+                                 "yolov3_tpu", "xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except OSError:  # purely an optimization
+        pass
 
 
 def dep_full(carry, out):

@@ -29,7 +29,7 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import jax
 import jax.numpy as jnp
 
-from tools.bench_clock import timeit_scanned
+from tools.bench_clock import enable_compile_cache, timeit_scanned
 from yolov3_tpu.graph import load_graph
 from yolov3_tpu.ops.preprocess import preprocess
 from yolov3_tpu.weights import fold_raw, random_raw
@@ -48,6 +48,7 @@ def main():
     ap.add_argument("--int8-heads", action="store_true",
                     help="quantize the no-BN head projections too")
     args = ap.parse_args()
+    enable_compile_cache()
     lens = tuple(int(v) for v in args.lens.split(","))
 
     from yolov3_tpu.ops.nms import _select_pairmax_payload, batched_nms_packed
