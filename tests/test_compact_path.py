@@ -94,3 +94,42 @@ def test_bf16_box_parity_with_fp32(setup):
                 matched += 1
     assert total > 0
     assert matched / total >= 0.9, f"bf16 parity {matched}/{total}"
+
+
+def test_serving_top_k_256_preset_same_detections(cfg_paths):
+    """K=256 serving preset (round-3 tiny tail work): with trained-realistic
+    negative objectness biases, the candidate census at the serving
+    threshold sits far below 256, so top_k=256 must produce IDENTICAL
+    detection sets to top_k=512 — selection and suppression shrink ~2x for
+    free. (The >K truncation contract itself is covered in test_nms.py;
+    this pins that the preset is lossless at serving thresholds.)"""
+    from yolov3_tpu.weights import random_raw as _rr
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    raw = _rr(g, seed=11)
+    per_anchor = 5 + g.yolo_nodes[0].classes
+    for node in g.conv_nodes:
+        if not node.batch_normalize:
+            raw[node.index]["bias"][4::per_anchor] = -6.0
+    params = jax.tree.map(jnp.asarray, fold_raw(raw))
+    x = jnp.asarray(np.random.default_rng(5).uniform(
+        0, 1, (4, 416, 416, 3)).astype(np.float32))
+
+    boxes, scores, classes = forward_compact(g, params, x)
+    n_cand = int(np.sum(np.asarray(scores) >= 0.05, axis=1).max())
+    assert n_cand < 256, f"census {n_cand} invalidates the K=256 preset"
+    r512 = batched_nms_compact(boxes, scores, classes, prob_thresh=0.05,
+                               top_k=512)
+    r256 = batched_nms_compact(boxes, scores, classes, prob_thresh=0.05,
+                               top_k=256)
+    for i in range(4):
+        v512 = np.where(np.asarray(r512.valid[i]))[0]
+        v256 = np.where(np.asarray(r256.valid[i]))[0]
+        np.testing.assert_allclose(np.asarray(r512.boxes[i][v512]),
+                                   np.asarray(r256.boxes[i][v256]),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(r512.classes[i][v512]),
+                                      np.asarray(r256.classes[i][v256]))
+        np.testing.assert_allclose(np.asarray(r512.scores[i][v512]),
+                                   np.asarray(r256.scores[i][v256]),
+                                   atol=1e-6)

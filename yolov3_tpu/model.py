@@ -162,6 +162,48 @@ def forward(
     )
 
 
+def pad_head_params(graph: Graph, params, lanes: int = 128):
+    """Zero-pad each head conv's output channels to the lane boundary.
+
+    The Pallas decode kernels need the head map's channel dim padded to a
+    multiple of 128 lanes; padding the (tiny) conv WEIGHTS instead of the
+    (huge) conv OUTPUT makes the conv itself emit the aligned map — the
+    decode custom call then consumes a pure reshape instead of a full-map
+    ``jnp.pad`` copy (659 MB for the 76² head at b128@608, ~2 ms/step of
+    pure pad traffic across the three heads, round-3 measurement). The
+    padded channels are exactly zero (zero weights, zero bias, linear
+    activation) and the kernels mask all lanes ≥ a·(5+C).
+
+    Only applied when the head conv's sole consumer is its yolo node (true
+    for every published yolov3 variant); returns ``params`` untouched
+    otherwise. Handles both float ({"w","b"}) and int8 ({"wq","sw","b"})
+    param forms.
+    """
+    consumers: Dict[int, int] = {}
+    for n in graph.nodes:
+        for i in n.inputs:
+            if i >= 0:
+                consumers[i] = consumers.get(i, 0) + 1
+    out = dict(params)
+    for yn in graph.yolo_nodes:
+        hc = yn.inputs[0]
+        node = graph.nodes[hc]
+        if node.kind != "convolutional" or consumers.get(hc, 0) != 1:
+            return params
+        p = dict(params[hc])
+        wkey = "wq" if "wq" in p else "w"
+        c = p[wkey].shape[3]
+        cp = -(-c // lanes) * lanes
+        if cp == c:
+            continue
+        p[wkey] = jnp.pad(p[wkey], ((0, 0), (0, 0), (0, 0), (0, cp - c)))
+        p["b"] = jnp.pad(p["b"], (0, cp - c))
+        if "sw" in p:
+            p["sw"] = jnp.pad(p["sw"], (0, cp - c), constant_values=1.0)
+        out[hc] = p
+    return out
+
+
 def forward_compact(
     graph: Graph,
     params: Dict[int, Dict[str, jax.Array]],
@@ -176,6 +218,8 @@ def forward_compact(
     (see ``ops.decode.decode_compact``). ``decode_impl="pallas"`` runs the
     fused Pallas kernel instead (native head layout; anchor-major candidate
     order — same detection sets, see ``ops.pallas_decode``)."""
+    if decode_impl == "pallas":
+        params = pad_head_params(graph, params)
     heads = forward_features(graph, params, x, precision, conv_impl)
     yolo_nodes = graph.yolo_nodes
     if decode_impl == "pallas":
@@ -206,7 +250,8 @@ def forward_packed(
     applies none on this path)."""
     from .ops.pallas_decode import decode_packed_pallas
 
-    heads = forward_features(graph, params, x, precision, conv_impl)
+    heads = forward_features(graph, pad_head_params(graph, params), x,
+                             precision, conv_impl)
     yolo_nodes = graph.yolo_nodes
     return decode_packed_pallas(
         heads, [n.anchors for n in yolo_nodes], list(graph.head_strides()),

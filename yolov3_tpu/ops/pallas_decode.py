@@ -41,6 +41,24 @@ def supported(anchors_per_head) -> bool:
     return all(len(a) <= MAX_ANCHORS for a in anchors_per_head)
 
 
+def _divisor_rows_tile(n_rows: int, cap: int = 4096) -> int:
+    """Largest multiple-of-128 divisor of ``n_rows`` up to ``cap``.
+
+    A divisor tile means the kernel input is a pure reshape — ``jnp.pad``
+    on a non-divisor row count materializes a full copy of the head map
+    (659 MB for the 76² head at b128@608, ~1.6 ms of pure pad traffic)
+    because custom-call operands cannot fuse the pad away. b·g² for the
+    yolov3 heads is always 2^k·361-shaped, so a divisor ≤4096 exists at
+    every serving batch; fall back to the padded path otherwise."""
+    best = 0
+    t = 128
+    while t <= min(cap, n_rows):
+        if n_rows % t == 0:
+            best = t
+        t += 128
+    return best
+
+
 def _channel_constants(anchors, stride, num_classes, c_pad):
     """Per-channel constant vectors driving the fused select.
 
@@ -149,7 +167,7 @@ def decode_head_pallas(
 
 def _decode_compact_kernel(f_ref, o_ref, *, gx, gy, n_rows, rows_tile,
                            anchors, stride, num_classes, prob_thresh,
-                           head_offset=None):
+                           head_offset=None, out_rows=False):
     """Fused compact decode of one row-tile of grid cells.
 
     Consumes the head map in its NATIVE lane layout — (cells, A·(5+C) pad
@@ -210,29 +228,171 @@ def _decode_compact_kernel(f_ref, o_ref, *, gx, gy, n_rows, rows_tile,
             cand = jnp.broadcast_to(cand, score.shape)
         outs.extend([cx - w * 0.5, cy - h * 0.5, cx + w * 0.5, cy + h * 0.5,
                      score, idx, cand, score * 0])  # 8 rows per anchor
-    outs.extend([outs[4] * 0] * (o_ref.shape[0] - len(outs)))
-    o_ref[:] = jnp.concatenate(outs, axis=0)
+    n_out = 32 if out_rows else o_ref.shape[0]
+    outs.extend([outs[4] * 0] * (n_out - len(outs)))
+    res = jnp.concatenate(outs, axis=0)            # (32, rows)
+    if out_rows:
+        # back-transpose the small record block in-register: the record
+        # emits natively as (cells, 32) and the XLA-side payload build
+        # becomes a reshape instead of a (32, N) relayout
+        o_ref[:] = res.T
+    else:
+        o_ref[:] = res
 
 
-def decode_packed_head_pallas(
+def _projection_matrix(anchors, num_classes, c_pad):
+    """(c_pad, 32) one-hot: head channel [tx,ty,tw,th,obj] of anchor ai →
+    output lane 8·ai+k. One MXU dot extracts all 15 box/objectness channels
+    from the native-layout tile — exact (one-hot times bf16 input keeps the
+    input bits; f32 accumulation of a single term)."""
+    per = 5 + num_classes
+    p = np.zeros((c_pad, 32), np.float32)
+    for ai in range(len(anchors)):
+        for k in range(5):
+            p[ai * per + k, 8 * ai + k] = 1.0
+    return jnp.asarray(p)
+
+
+def _decode_packed_kernel_noT(f_ref, proj_ref, o_ref, *, gx, gy, n_rows,
+                              rows_tile, anchors, stride, num_classes,
+                              prob_thresh, head_offset):
+    """Transpose-free packed decode (round 3).
+
+    The original kernel (:func:`_decode_compact_kernel`) transposes the full
+    (rows, 384)-lane tile so channels become sublanes — the transpose and
+    the (32, cells) output it forces (plus the XLA-side re-transpose of the
+    record) measure ~5-7 ms/step at 608/b128 (tools/probe_decode.py). Here
+    the tile stays in its NATIVE layout end to end:
+
+    * one one-hot MXU projection pulls the 15 box/obj channels into an
+      anchor-blocked 32-lane tile (lane 8·ai+k) — no lane slicing needed;
+    * class max/argmax per anchor are masked LANE reductions over the raw
+      tile (sigmoid is monotone: reduce logits, sigmoid the max);
+    * box corner math crosses lanes via two static ``pltpu.roll``s
+      (cx,cy ± w,h/2 land on lanes 8·ai+{0..3});
+    * the record emits natively as (cells, 32) — payload build on the XLA
+      side becomes a reshape instead of a (32, N) transpose.
+
+    Bit-compatible with the transposing kernel (same math, same order).
+    """
+    per = 5 + num_classes
+    tile = pl.program_id(0)
+    f = f_ref[:]                       # (rows, c_pad) bf16/f32, native layout
+    rows = f.shape[0]
+    c_pad = f.shape[1]
+
+    # channel-lane metadata at FULL tile shape: Mosaic cannot relayout an
+    # i1 compare result against a (1, c_pad) sublane-replicated mask
+    # ("non-singleton logical dimension is replicated in destination"), so
+    # every mask that meets a (rows, c_pad) value is built at (rows, c_pad)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (rows, c_pad), 1)
+    k = ch % per
+    a = len(anchors)
+
+    # per-cell geometry, (rows, 1)
+    gcell = (tile * rows_tile
+             + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0))
+    valid = gcell < n_rows
+    cell = gcell % (gx * gy)
+    col = (cell % gx).astype(jnp.float32)
+    row = (cell // gx).astype(jnp.float32)
+
+    # [tx,ty,tw,th,obj] per anchor → lanes 8ai+0..4 (one exact MXU dot)
+    sel = jax.lax.dot_general(
+        f, proj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)      # (rows, 32)
+
+    lane32 = jax.lax.broadcasted_iota(jnp.int32, (rows, 32), 1)
+    k32 = lane32 % 8
+    a32 = lane32 // 8
+    is_anchor = a32 < a
+    is_x, is_y = (k32 == 0) & is_anchor, (k32 == 1) & is_anchor
+    is_w, is_h = (k32 == 2) & is_anchor, (k32 == 3) & is_anchor
+    is_score = (k32 == 4) & is_anchor
+    is_cls, is_cand = (k32 == 5) & is_anchor, (k32 == 6) & is_anchor
+
+    sig = jax.nn.sigmoid(sel)
+    expo = jnp.exp(jnp.minimum(sel, 60.0))
+    anchor_vec = jnp.zeros((1, 32), jnp.float32)
+    for ai, (aw, ah) in enumerate(anchors):
+        one_w = (lane32[:1] == 8 * ai + 2).astype(jnp.float32)
+        one_h = (lane32[:1] == 8 * ai + 3).astype(jnp.float32)
+        anchor_vec = anchor_vec + jnp.float32(aw) * one_w \
+            + jnp.float32(ah) * one_h
+    offs = col * (is_x.astype(jnp.float32)) + row * (is_y.astype(jnp.float32))
+    cxy = (sig + offs) * jnp.float32(stride)     # valid on xy lanes
+    wh = expo * anchor_vec                       # valid on wh lanes
+
+    # class max + first-argmax per anchor: masked lane reductions on logits
+    score_fac = jnp.zeros((rows, 32), jnp.float32)
+    cls_term = jnp.zeros((rows, 32), jnp.float32)
+    cand_term = jnp.zeros((rows, 32), jnp.float32)
+    cls_lane_iota = (k - 5).astype(jnp.float32)  # class id per head lane
+    # f32 working copy for the class reductions: bf16 compares against a
+    # broadcast max hit a Mosaic relayout hole ("non-singleton logical
+    # dimension is replicated in destination but not in source" on the i1
+    # ge result) in every formulation tried; the f32 form compiles. The
+    # cast is exact, so results are identical — rows_tile=1024 keeps the
+    # resulting scoped-vmem stack under Mosaic's 16M limit.
+    ff = f.astype(jnp.float32)
+    for ai in range(a):
+        m_cls = (ch >= ai * per + 5) & (ch < (ai + 1) * per)
+        masked = jnp.where(m_cls, ff, -jnp.inf)        # (rows, c_pad) f32
+        m = jnp.max(masked, axis=1, keepdims=True)
+        # masked ≥ m folds the class mask in (non-class lanes are -inf and
+        # cannot attain the max); both compare operands are full-shape
+        idx = jnp.min(jnp.where(masked >= jnp.broadcast_to(m, masked.shape),
+                                cls_lane_iota, jnp.float32(3e5)),
+                      axis=1, keepdims=True)
+        one_sc = (lane32 == 8 * ai + 4).astype(jnp.float32)
+        one_cl = (lane32 == 8 * ai + 5).astype(jnp.float32)
+        one_cd = (lane32 == 8 * ai + 6).astype(jnp.float32)
+        score_fac = score_fac + jax.nn.sigmoid(m) * one_sc
+        cls_term = cls_term + idx * one_cl
+        cand_term = cand_term + (
+            cell.astype(jnp.float32)
+            + jnp.float32(head_offset + ai * gx * gy)) * one_cd
+
+    score = sig * score_fac                      # sig(obj)·sig(max cls)
+    score = jnp.where((score >= prob_thresh) & valid, score, 0.0)
+
+    # corner math across lanes: two static rolls align w,h under cx,cy
+    half_wh = wh * 0.5
+    wh_at_xy = pltpu.roll(half_wh, shift=30, axis=1)   # w,h → lanes 8ai+0,1
+    # (roll shift must be non-negative: -2 ≡ +30 mod 32 lanes)
+    cxy_at_wh = pltpu.roll(cxy, shift=2, axis=1)       # cx,cy → lanes 8ai+2,3
+    x0y0 = (cxy - wh_at_xy) * (is_x | is_y).astype(jnp.float32)
+    x1y1 = (cxy_at_wh + half_wh) * (is_w | is_h).astype(jnp.float32)
+
+    out = (x0y0 + x1y1
+           + score * is_score.astype(jnp.float32)
+           + cls_term * is_cls.astype(jnp.float32)
+           + cand_term * is_cand.astype(jnp.float32))
+    o_ref[:] = out
+
+
+def decode_packed_head_pallas_noT(
     feat: jax.Array,
     anchors: Tuple[Tuple[float, float], ...],
     stride: int,
     num_classes: int,
     prob_thresh: float = 0.0,
     head_offset: int = 0,
-    rows_tile: int = 4096,
+    rows_tile: int = 1024,
     interpret: bool = False,
 ):
-    """Packed-payload variant of :func:`decode_compact_head_pallas`:
-    → (payload (B, a·g², 8) f32, scores (B, a·g²) f32).
+    """Transpose-free packed decode of one head → (payload (B, a·g², 8) f32,
+    scores (B, a·g²) f32). Same record contract as
+    :func:`decode_packed_head_pallas`; candidate order identical; validated
+    bit-exact against it compiled on-chip.
 
-    Payload lanes are exactly the candidate record the pair-max NMS
-    selection consumes (ops/nms.py::_select_pairmax): [x0, y0, x1, y1,
-    thresholded score, class, global candidate index, 0]. The index rides
-    lane 6 straight from the kernel (``head_offset`` + anchor-major local
-    index), so the selection needs NO per-plane gathers, payload concat, or
-    iota — one (g², A) transpose per head builds the whole record."""
+    **Measured SLOWER than the transposing kernel** (9.92 vs 4.08 ms for
+    all three heads at b128@608, tools/bench_decode_kernel.py): the six
+    full-tile masked lane reductions + the f32 working copy outweigh the
+    transpose they replace, and the 1024-row tile (forced by Mosaic's 16M
+    scoped-vmem limit on those temporaries) quadruples grid steps. Kept as
+    a documented negative result; the shipped decode win is the zero-copy
+    kernel FEED instead (``model.pad_head_params`` + divisor row tiles)."""
     b, gy, gx, c = feat.shape
     a = len(anchors)
     if a > MAX_ANCHORS:
@@ -249,23 +409,114 @@ def decode_packed_head_pallas(
     n_rows_pad = ((n_rows + rows_tile - 1) // rows_tile) * rows_tile
     flat = feat.reshape(n_rows, c)
     flat = jnp.pad(flat, ((0, n_rows_pad - n_rows), (0, c_pad - c)))
+    proj = _projection_matrix(anchors, num_classes, c_pad).astype(flat.dtype)
 
-    kernel = partial(_decode_compact_kernel, gx=gx, gy=gy, n_rows=n_rows,
+    kernel = partial(_decode_packed_kernel_noT, gx=gx, gy=gy, n_rows=n_rows,
                      rows_tile=rows_tile, anchors=tuple(anchors),
                      stride=stride, num_classes=num_classes,
                      prob_thresh=float(prob_thresh),
                      head_offset=int(head_offset))
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((32, n_rows_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows_pad, 32), jnp.float32),
+        grid=(n_rows_pad // rows_tile,),
+        in_specs=[
+            pl.BlockSpec((rows_tile, c_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, 32), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows_tile, 32), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(flat, proj)
+
+    recs = out[:n_rows]                           # (B·g², 32) — native layout
+    payload = (recs.reshape(b, gy * gx, 4, 8).transpose(0, 2, 1, 3)
+               .reshape(b, 4 * gy * gx, 8)[:, :a * gy * gx])
+    scores = payload[:, :, 4]
+    return payload, scores
+
+
+def decode_packed_head_pallas(
+    feat: jax.Array,
+    anchors: Tuple[Tuple[float, float], ...],
+    stride: int,
+    num_classes: int,
+    prob_thresh: float = 0.0,
+    head_offset: int = 0,
+    rows_tile: int = 4096,
+    interpret: bool = False,
+    out_rows: bool = False,
+):
+    """Packed-payload variant of :func:`decode_compact_head_pallas`:
+    → (payload (B, a·g², 8) f32, scores (B, a·g²) f32).
+
+    ``out_rows=True`` back-transposes the 32-row record block in-register
+    and emits (cells, 32) so the XLA-side payload build is a pure reshape —
+    **measured SLOWER** (5.29 vs 4.02 ms all-heads at b128@608,
+    tools/bench_decode_kernel.py: the in-register back-transpose costs more
+    than the XLA relayout it saves). Kept as a documented negative result;
+    default stays the (32, cells) form.
+
+    Payload lanes are exactly the candidate record the pair-max NMS
+    selection consumes (ops/nms.py::_select_pairmax): [x0, y0, x1, y1,
+    thresholded score, class, global candidate index, 0]. The index rides
+    lane 6 straight from the kernel (``head_offset`` + anchor-major local
+    index), so the selection needs NO per-plane gathers, payload concat, or
+    iota — one (g², A) transpose per head builds the whole record.
+
+    ``feat`` may arrive with its channel dim already padded to the lane
+    boundary (c = 128k ≥ a·(5+C), zero-filled — see
+    ``model.pad_head_params``): together with a divisor row tile this makes
+    the kernel input a PURE RESHAPE of the head conv's output instead of a
+    full-map pad copy (round 3; ~2 ms/step at 608/b128)."""
+    b, gy, gx, c = feat.shape
+    a = len(anchors)
+    if a > MAX_ANCHORS:
+        raise ValueError(
+            f"pallas packed decode supports <= {MAX_ANCHORS} anchors/head, "
+            f"got {a} — use decode_impl='xla'")
+    per = 5 + num_classes
+    assert c == a * per or (c % LANES == 0 and c >= a * per), \
+        f"head channels {c} != {a}*{per} (or lane-padded)"
+    interpret = interpret or jax.default_backend() == "cpu"
+    c_pad = ((c + LANES - 1) // LANES) * LANES
+
+    n_rows = b * gy * gx
+    div = _divisor_rows_tile(n_rows, rows_tile)
+    rows_tile = div or min(rows_tile, ((n_rows + 127) // 128) * 128)
+    n_rows_pad = ((n_rows + rows_tile - 1) // rows_tile) * rows_tile
+    flat = feat.reshape(n_rows, c)
+    if n_rows_pad != n_rows or c_pad != c:
+        flat = jnp.pad(flat, ((0, n_rows_pad - n_rows), (0, c_pad - c)))
+
+    kernel = partial(_decode_compact_kernel, gx=gx, gy=gy, n_rows=n_rows,
+                     rows_tile=rows_tile, anchors=tuple(anchors),
+                     stride=stride, num_classes=num_classes,
+                     prob_thresh=float(prob_thresh),
+                     head_offset=int(head_offset), out_rows=out_rows)
+    out_shape = ((n_rows_pad, 32) if out_rows else (32, n_rows_pad))
+    out_spec = (pl.BlockSpec((rows_tile, 32), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM) if out_rows
+                else pl.BlockSpec((32, rows_tile), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         grid=(n_rows_pad // rows_tile,),
         in_specs=[pl.BlockSpec((rows_tile, c_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((32, rows_tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         interpret=interpret,
     )(flat)
 
+    if out_rows:
+        recs = out[:n_rows]                    # (B·g², 32) — native layout
+        payload = (recs.reshape(b, gy * gx, 4, 8).transpose(0, 2, 1, 3)
+                   .reshape(b, 4 * gy * gx, 8)[:, :a * gy * gx])
+        scores = payload[:, :, 4]
+        return payload, scores
     recs = out[:, :n_rows]                     # (32, B·g²)
     # (B·g², 32) → (B, g², 4, 8) → anchor-major (B, 4, g², 8): ONE transpose
     payload = (recs.T.reshape(b, gy * gx, 4, 8).transpose(0, 2, 1, 3)
@@ -321,7 +572,8 @@ def decode_compact_head_pallas(
             f"pallas compact decode supports <= {MAX_ANCHORS} anchors/head, "
             f"got {a} — use decode_impl='xla'")
     per = 5 + num_classes
-    assert c == a * per
+    assert c == a * per or (c % LANES == 0 and c >= a * per), \
+        f"head channels {c} != {a}*{per} (or lane-padded)"
     # Pallas compiles for TPU only; on the CPU backend (tests, virtual
     # meshes) the same kernel runs in interpret mode so every environment
     # exercises one code path.
@@ -329,10 +581,12 @@ def decode_compact_head_pallas(
     c_pad = ((c + LANES - 1) // LANES) * LANES
 
     n_rows = b * gy * gx
-    rows_tile = min(rows_tile, ((n_rows + 127) // 128) * 128)
+    div = _divisor_rows_tile(n_rows, rows_tile)
+    rows_tile = div or min(rows_tile, ((n_rows + 127) // 128) * 128)
     n_rows_pad = ((n_rows + rows_tile - 1) // rows_tile) * rows_tile
     flat = feat.reshape(n_rows, c)
-    flat = jnp.pad(flat, ((0, n_rows_pad - n_rows), (0, c_pad - c)))
+    if n_rows_pad != n_rows or c_pad != c:
+        flat = jnp.pad(flat, ((0, n_rows_pad - n_rows), (0, c_pad - c)))
 
     kernel = partial(_decode_compact_kernel, gx=gx, gy=gy, n_rows=n_rows,
                      rows_tile=rows_tile, anchors=tuple(anchors),

@@ -391,7 +391,10 @@ def forward_compact_int8(graph: Graph, qparams, scales, x,
     ``carrier="bf16"`` is the per-conv-input-quantize walk (``scales`` from
     :func:`calibrate`)."""
     if decode_impl == "pallas":
+        from .model import pad_head_params
         from .ops.pallas_decode import decode_compact_pallas as _decode
+
+        qparams = pad_head_params(graph, qparams)
     else:
         from .ops.decode import decode_compact as _decode
 
@@ -411,8 +414,10 @@ def forward_packed_int8(graph: Graph, qparams, scales, x, prob_thresh: float,
                         carrier: str = "bf16"):
     """int8 serving forward → (payload (B, N, 8), scores (B, N)) for
     ``ops.nms.batched_nms_packed`` (see ``model.forward_packed``)."""
+    from .model import pad_head_params
     from .ops.pallas_decode import decode_packed_pallas
 
+    qparams = pad_head_params(graph, qparams)
     if carrier == "int8":
         heads = forward_features_int8_carrier(graph, qparams, scales, x,
                                               precision)
