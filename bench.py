@@ -25,8 +25,30 @@ REPO = Path(__file__).parent
 BASELINE_CACHE = REPO / "BENCH_TORCH_BASELINE.json"
 
 
+def _scanned(run, scan):
+    """Fuse ``scan`` pipeline steps into one dispatched lax.scan program
+    (the Detector(scan=) serving configuration): launch overhead amortizes
+    scan×. The per-step scalar sums reduce once more so the sync contract
+    (fetch one tiny scalar) is unchanged."""
+    if scan <= 1:
+        return run
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run_k(params, frames_k):  # (scan, B, H, W, 3) uint8
+        def body(carry, fr):
+            return carry, run(params, fr)
+
+        _, outs = lax.scan(body, jnp.int32(0), frames_k)
+        return jnp.sum(outs[0]), jnp.sum(outs[1])
+
+    return run_k
+
+
 def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
-                precision=None):
+                precision=None, scan=1):
     import jax
     import jax.numpy as jnp
 
@@ -49,11 +71,13 @@ def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
         # scalars implies the whole step executed
         return jnp.sum(res.scores), jnp.sum(res.valid)
 
+    run = _scanned(run, scan)
     dev_params = jax.device_put(params)
     # distinct pre-staged input per iteration (defeats any execution
     # memoization; real serving overlaps H2D with compute)
     rng = np.random.default_rng(7)
-    batches = [jnp.asarray(rng.integers(0, 256, frames.shape, dtype=np.uint8))
+    shape = (scan, *frames.shape) if scan > 1 else frames.shape
+    batches = [jnp.asarray(rng.integers(0, 256, shape, dtype=np.uint8))
                for _ in range(iters)]
     # warmup/compile (block via scalar fetch — block_until_ready is
     # fire-and-forget through the relay)
@@ -71,12 +95,12 @@ def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
         for o in outs:
             float(o[0])
         dt = time.perf_counter() - t0
-        blocks.append(frames.shape[0] * iters / dt)
+        blocks.append(scan * frames.shape[0] * iters / dt)
     return max(blocks), blocks
 
 
 def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
-                     quantize_heads=False):
+                     quantize_heads=False, scan=1):
     """int8 PTQ path (calibrated on random frames — throughput-only here;
     accuracy calibration uses real images via Darknet.quantize_int8).
     ``quantize_heads`` also int8s the no-BN head projections (round 3;
@@ -107,8 +131,10 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
         res = batched_nms_packed(payload, scores)
         return jnp.sum(res.scores), jnp.sum(res.valid)
 
+    run = _scanned(run, scan)
     rng = np.random.default_rng(7)
-    batches = [jnp.asarray(rng.integers(0, 256, frames.shape, dtype=np.uint8))
+    shape = (scan, *frames.shape) if scan > 1 else frames.shape
+    batches = [jnp.asarray(rng.integers(0, 256, shape, dtype=np.uint8))
                for _ in range(iters)]
     float(run(qparams, batches[0])[0])
     float(run(qparams, batches[-1])[0])
@@ -118,8 +144,79 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
         outs = [run(qparams, b) for b in batches]
         for o in outs:
             float(o[0])
-        blocks.append(frames.shape[0] * iters / (time.perf_counter() - t0))
+        blocks.append(scan * frames.shape[0] * iters
+                      / (time.perf_counter() - t0))
     return max(blocks), blocks
+
+
+def measure_latency(graph, params, size, batches=(1, 8, 32), n=20,
+                    precision="bf16", prob_thresh=0.05):
+    """Synchronous per-dispatch latency (VERDICT.md round-2 item 9).
+
+    Each sample is one full uint8→NMS dispatch, synced by fetching the
+    on-device scalar (the only reliable sync through the relay). The relay's
+    round trip is measured separately with a null program under the same
+    sync discipline so the table can split e2e latency into ~chip time +
+    ~transport; on direct-attached TPU the null column collapses to the
+    runtime's ~0.1-1 ms launch cost and e2e ≈ chip time.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from yolov3_tpu.model import forward_packed
+    from yolov3_tpu.ops.nms import batched_nms_packed
+    from yolov3_tpu.ops.preprocess import preprocess
+
+    net_hw = (size, size)
+
+    @jax.jit
+    def null(x):
+        return jnp.sum(x)
+
+    tiny = jax.device_put(jnp.zeros((8, 128), jnp.float32))
+    float(null(tiny))
+    rtt = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(null(tiny))
+        rtt.append((time.perf_counter() - t0) * 1e3)
+    rtt_p50 = float(np.percentile(rtt, 50))
+
+    run_params = params
+    if precision == "bf16":
+        run_params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16),
+                                  params)
+    dev_params = jax.device_put(run_params)
+    rows = {}
+    for b in batches:
+        @jax.jit
+        def run(params, frames_u8):
+            x = preprocess(frames_u8[..., ::-1], net_hw)
+            payload, scores = forward_packed(graph, params, x,
+                                             prob_thresh=prob_thresh,
+                                             precision=precision)
+            res = batched_nms_packed(payload, scores)
+            return jnp.sum(res.scores), jnp.sum(res.valid)
+
+        rng = np.random.default_rng(7)
+        frames = [jnp.asarray(rng.integers(0, 256, (b, size, size, 3),
+                                           dtype=np.uint8))
+                  for _ in range(n)]
+        float(run(dev_params, frames[0])[0])
+        float(run(dev_params, frames[-1])[0])
+        lat = []
+        for f in frames:
+            t0 = time.perf_counter()
+            float(run(dev_params, f)[0])
+            lat.append((time.perf_counter() - t0) * 1e3)
+        p50 = float(np.percentile(lat, 50))
+        rows[f"b{b}"] = {
+            "p50_ms": round(p50, 2),
+            "p90_ms": round(float(np.percentile(lat, 90)), 2),
+            "chip_ms_est": round(max(p50 - rtt_p50, 0.0), 2),
+            "img_s_sync": round(b / p50 * 1e3, 1),
+        }
+    return rtt_p50, rows
 
 
 def measure_torch_cpu(graph, raw, size, batch, iters):
@@ -184,6 +281,16 @@ def main():
     ap.add_argument("--remeasure-baseline", action="store_true")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the timed loop")
+    ap.add_argument("--scan", type=int, default=None,
+                    help="pipeline steps fused per dispatch (lax.scan — the "
+                         "Detector(scan=) serving configuration; launch "
+                         "overhead amortizes scan x). Default: auto (4 at "
+                         ">=608, 8 below). 1 = the round-1/2 one-dispatch-"
+                         "per-step estimator")
+    ap.add_argument("--latency", action="store_true",
+                    help="measure synchronous per-dispatch latency at "
+                         "b1/b8/b32 instead of throughput (one JSON line "
+                         "with p50/p90 + chip-vs-transport split)")
     ap.add_argument("--int8-heads", action="store_true",
                     help="quantize the no-BN head projections too on the "
                          "int8 rows (quant.eligible include_heads)")
@@ -224,17 +331,48 @@ def main():
         run_params = {k: {n: np.asarray(v, dtype=jnp.bfloat16)
                           for n, v in p.items()} for k, p in params.items()}
 
+    if args.latency:
+        lat_size = args.size or 608
+        lat_prec = args.precision if args.precision in ("bf16",
+                                                        "highest") else "bf16"
+        rtt_p50, lrows = measure_latency(graph, params, lat_size,
+                                         precision=lat_prec)
+        print(json.dumps({
+            "metric": f"latency p50 {graph.name}@{lat_size} batch1 "
+                      f"{lat_prec} e2e inference",
+            "value": lrows["b1"]["p50_ms"],
+            "unit": "ms",
+            "vs_baseline": lrows["b1"]["chip_ms_est"],
+            "relay_rtt_p50_ms": round(rtt_p50, 2),
+            "rows": lrows,
+        }))
+        return
+
+    def scan_for(size):
+        # auto scan depth: enough steps per dispatch to amortize launch
+        # overhead without ballooning the staged-input footprint
+        if args.scan is not None:
+            return max(1, args.scan)
+        return 4 if size >= 608 else 8
+
     def measure_at(size, prec, prms):
+        scan = scan_for(size)
         frames = np.random.default_rng(1).integers(
             0, 256, (args.batch, size, size, 3), dtype=np.uint8)
         # scale iteration count with expected step speed: fast rows (smaller
         # resolution, int8) otherwise amortize too little of the relay's
         # fixed dispatch cost and read 20-30% low with run-to-run swings
         iters = args.iters * max(1, round((608 / size) ** 2))
+        if scan > 1:
+            # each dispatch now carries scan batches — shrink the dispatch
+            # count so the pre-staged input footprint stays constant
+            iters = max(2, round(iters / scan))
         if prec == "int8":
             return measure_tpu_int8(graph, prms, frames, iters,
-                                    quantize_heads=args.int8_heads)
-        return measure_tpu(graph, prms, frames, iters, precision=prec)
+                                    quantize_heads=args.int8_heads,
+                                    scan=scan)
+        return measure_tpu(graph, prms, frames, iters, precision=prec,
+                           scan=scan)
 
     # BASELINE.json's tracked metric names BOTH @608 and @416 — default run
     # measures both; --size pins one. The headline row is the first size.
@@ -257,6 +395,7 @@ def main():
         row = {
             "img_s": round(tpu_ips, 2),
             "blocks": [round(b, 2) for b in blocks],
+            "scan": scan_for(size),
             "vs_baseline": round(tpu_ips / base["img_s"], 2),
             "baseline_img_s": round(base["img_s"], 4),
             "baseline_std": round(base["std"], 4),
@@ -274,6 +413,7 @@ def main():
             rows[f"{graph.name}@{size} batch{args.batch} int8"] = {
                 "img_s": round(ips, 2),
                 "blocks": [round(b, 2) for b in blocks],
+                "scan": scan_for(size),
                 "vs_baseline": round(ips / base["img_s"], 2),
             }
 

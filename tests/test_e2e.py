@@ -300,6 +300,80 @@ def test_pipelined_detector(tiny_weights, cfg_paths):
                                        atol=1e-4)
 
 
+def test_detector_scan_matches_unscanned(tiny_weights, cfg_paths):
+    """Detector(scan=K) fuses K pipeline steps into one lax.scan dispatch;
+    results must be identical to the per-batch program, including when the
+    input needs padding up to a multiple of scan."""
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(tiny_weights)
+    base = Detector(net, prob_thresh=0.3, net_hw=(160, 160))
+    scanned = Detector(net, prob_thresh=0.3, net_hw=(160, 160), scan=3)
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (6, 240, 320, 3), dtype=np.uint8)
+    want = [d for i in range(3)
+            for d in base.detect_batch(frames[2 * i:2 * i + 2])]
+    got = scanned.detect_batch(frames)
+    assert len(got) == 6
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g.class_idx, w.class_idx)
+        np.testing.assert_allclose(g.class_prob, w.class_prob, atol=1e-5)
+        np.testing.assert_allclose(g.bbox_tlbr, w.bbox_tlbr, atol=1e-3)
+
+    # non-divisible batch: 5 frames pad to 6 on-device, pad results dropped
+    got5 = scanned.detect_batch(frames[:5])
+    assert len(got5) == 5
+    for g, w in zip(got5, want[:5]):
+        np.testing.assert_array_equal(g.class_idx, w.class_idx)
+        np.testing.assert_allclose(g.bbox_tlbr, w.bbox_tlbr, atol=1e-3)
+
+
+def test_detector_scan_quantized(tiny_weights, cfg_paths):
+    """The scan wrapper composes with the int8 fast path."""
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+
+    rng = np.random.default_rng(13)
+    calib = [rng.integers(0, 256, (160, 160, 3), dtype=np.uint8)
+             for _ in range(2)]
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(tiny_weights)
+    net.quantize_int8(calib, net_hw=(160, 160))
+    base = Detector(net, prob_thresh=0.3, net_hw=(160, 160))
+    scanned = Detector(net, prob_thresh=0.3, net_hw=(160, 160), scan=2)
+    frames = rng.integers(0, 256, (4, 160, 160, 3), dtype=np.uint8)
+    want = [d for i in range(2)
+            for d in base.detect_batch(frames[2 * i:2 * i + 2])]
+    got = scanned.detect_batch(frames)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g.class_idx, w.class_idx)
+        np.testing.assert_allclose(g.bbox_tlbr, w.bbox_tlbr, atol=1e-3)
+
+
+def test_detector_scan_validation(tiny_weights, cfg_paths):
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.parallel.sharding import make_mesh
+
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(tiny_weights)
+    with pytest.raises(ValueError, match="scan"):
+        Detector(net, scan=0)
+    with pytest.raises(ValueError, match="mesh"):
+        Detector(net, scan=2, mesh=make_mesh(1))
+
+
+def test_cli_scan_directory(tiny_weights, sample_images, cfg_paths, capsys):
+    """--scan on the batched directory path (the throughput serving shape)."""
+    rc = _cli(["--image-dir", sample_images[0],
+               "--config", cfg_paths["yolov3-tiny"],
+               "--weights", tiny_weights,
+               "--batch-size", "4", "--scan", "2",
+               "--no-show", "--prob-thresh", "0.3"])
+    assert rc == 0
+    assert "images" in capsys.readouterr().out
+
+
 def test_detector_warmup(tiny_weights, cfg_paths):
     from yolov3_tpu.inference import Detector
     from yolov3_tpu.model import Darknet

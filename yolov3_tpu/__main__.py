@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device batch for --image-dir / video batching")
     p.add_argument("--frame-batch", type=int, default=1,
                    help="frames per device step for --video")
+    p.add_argument("--scan", type=int, default=1,
+                   help="pipeline steps fused per device dispatch "
+                        "(lax.scan): amortizes launch overhead scan x for "
+                        "throughput batch work (--image-dir); raises "
+                        "per-call latency to scan x the step time")
     p.add_argument("--pipeline-depth", type=int, default=None,
                    help="batches kept in flight on the device for --cam / "
                         "--video (overlaps dispatch with draw/show/encode; "
@@ -177,7 +182,7 @@ def main(argv=None) -> int:
                         resize_mode=args.resize_mode, top_k=args.top_k,
                         net_hw=net_hw, nms_impl=args.nms_impl,
                         decode_impl=args.decode_impl,
-                        max_results=args.max_results)
+                        max_results=args.max_results, scan=args.scan)
     class_names = (load_class_names(args.class_names)
                    if Path(args.class_names).exists() else None)
 

@@ -58,7 +58,7 @@ class Detector:
                  top_k: int = 512, bgr: bool = True,
                  net_hw: Optional[Tuple[int, int]] = None, mesh=None,
                  nms_impl: str = "xla", decode_impl: str = "pallas",
-                 max_results: int = 128):
+                 max_results: int = 128, scan: int = 1):
         self.net = net
         self.prob_thresh = float(prob_thresh)
         self.iou_thresh = float(iou_thresh)
@@ -73,6 +73,20 @@ class Detector:
         # post-NMS output compaction: K=512 slots of NMS working set shrink
         # to the top max_results survivors before leaving the device
         self.max_results = int(max_results)
+        # scan > 1 fuses that many pipeline steps into ONE dispatched
+        # lax.scan program: launch overhead amortizes scan× — decisive for
+        # models whose device step is faster than the dispatch interval
+        # (tiny@416: ~10 ms step vs ~30 ms dispatch ⇒ 2.3–3× e2e,
+        # tools/bench_scan.py). Throughput knob only: per-call latency grows
+        # to scan × step.
+        self.scan = int(scan)
+        if self.scan < 1:
+            raise ValueError(f"scan must be >= 1, got {scan}")
+        if self.scan > 1 and mesh is not None:
+            # on a mesh each dispatch already carries mesh.size× work, and
+            # the scanned batch axis (axis 1 of the staged (K, B, ...) input)
+            # would need its own shard_map spec plumbing — unsupported
+            raise ValueError("scan > 1 is not supported together with mesh=")
         self.net_hw = tuple(net_hw) if net_hw else net.net_size
         # batch-DP over a device mesh (SURVEY.md §2.15): params replicate
         # once, every batch shards on its leading axis; single-device mesh
@@ -155,8 +169,7 @@ class Detector:
                                        nms_impl=nms_impl,
                                        decode_impl=decode_impl,
                                        max_results=max_results)
-            self._cache_pipeline(key, run)
-            return run
+            return self._finalize(key, run)
 
         if self.net.quantized:
             from .quant import forward_compact_int8
@@ -191,8 +204,7 @@ class Detector:
                                            max_results=max_results)
 
             run = lambda params, frames: run_q(qparams, frames)  # noqa: E731
-            self._cache_pipeline(key, run)
-            return run
+            return self._finalize(key, run)
 
         @jax.jit
         def run(params, frames_u8):
@@ -223,6 +235,25 @@ class Detector:
                                        prob_thresh=prob, iou_thresh=iou,
                                        top_k=top_k, impl=nms_impl,
                                        max_results=max_results)
+
+        return self._finalize(key, run)
+
+    def _finalize(self, key, run):
+        """Wrap the per-batch pipeline in the scan runner when configured,
+        then cache it. The scanned program takes a (scan, B, H, W, 3) uint8
+        stack and returns results with the leading axes merged back to
+        (scan·B, ...), so every caller sees the unscanned output contract."""
+        if self.scan > 1:
+            base = run
+
+            @jax.jit
+            def run(params, frames_k):
+                def body(carry, fr):
+                    return carry, base(params, fr)
+
+                _, res = jax.lax.scan(body, jnp.int32(0), frames_k)
+                return jax.tree.map(
+                    lambda a: a.reshape((-1, *a.shape[2:])), res)
 
         self._cache_pipeline(key, run)
         return run
@@ -274,10 +305,21 @@ class Detector:
 
     def _stage_batch(self, frames: np.ndarray):
         """Host batch → device array: on a mesh, pad the batch up to a
-        shardable size and shard its leading axis. Returns
-        (device_frames, padded_batch, real_batch)."""
+        shardable size and shard its leading axis; with ``scan > 1``, pad to
+        a multiple of scan and stage as a (scan, B/scan, ...) stack (the
+        scanned program merges results back, so callers still index by the
+        original order). Returns (device_frames, per_step_batch, real_batch)."""
         b = frames.shape[0]
         n_real = b
+        if self.scan > 1:
+            k = self.scan
+            if b % k:
+                pad = k - b % k
+                frames = np.concatenate(
+                    [frames, np.zeros((pad, *frames.shape[1:]), frames.dtype)])
+                b += pad
+            stack = frames.reshape(k, b // k, *frames.shape[1:])
+            return jnp.asarray(stack), b // k, n_real
         if self.mesh is not None:
             from .parallel.sharding import batch_sharding
 
