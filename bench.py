@@ -100,11 +100,13 @@ def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
 
 
 def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
-                     quantize_heads=False, scan=1):
+                     quantize_heads=False, quantize_stem=False, scan=1):
     """int8 PTQ path (calibrated on random frames — throughput-only here;
     accuracy calibration uses real images via Darknet.quantize_int8).
     ``quantize_heads`` also int8s the no-BN head projections (round 3;
-    parity gates in tests/test_quant.py::test_head_quantization_*)."""
+    parity gates in tests/test_quant.py::test_head_quantization_*);
+    ``quantize_stem`` int8s the Cin=3 stem via the exact-u8 input scheme
+    (tests/test_quant.py::test_stem_*)."""
     import jax
     import jax.numpy as jnp
 
@@ -120,7 +122,8 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
         rng.integers(0, 256, (8, *net_hw, 3), dtype=np.uint8)), net_hw)]
     scales = calibrate_tensors(graph, dev_params, calib, precision="bf16")
     qparams = jax.device_put(quantize_weights(graph, dev_params,
-                                              include_heads=quantize_heads))
+                                              include_heads=quantize_heads,
+                                              include_stem=quantize_stem))
 
     @jax.jit
     def run(qparams, frames_u8):
@@ -294,6 +297,10 @@ def main():
     ap.add_argument("--int8-heads", action="store_true",
                     help="quantize the no-BN head projections too on the "
                          "int8 rows (quant.eligible include_heads)")
+    ap.add_argument("--int8-stem", action="store_true",
+                    help="quantize the Cin=3 stem conv too on the int8 rows "
+                         "(exact-u8 input scheme, quant.eligible "
+                         "include_stem)")
     ap.add_argument("--precision", choices=("default", "highest", "bf16",
                                             "int8"),
                     default="bf16",
@@ -370,6 +377,7 @@ def main():
         if prec == "int8":
             return measure_tpu_int8(graph, prms, frames, iters,
                                     quantize_heads=args.int8_heads,
+                                    quantize_stem=args.int8_stem,
                                     scan=scan)
         return measure_tpu(graph, prms, frames, iters, precision=prec,
                            scan=scan)

@@ -167,6 +167,87 @@ def test_head_quantization_carrier_prenms_parity(setup):
         assert (c32n[i][top] == cqn[i][top]).all()
 
 
+def test_stem_exact_u8_algebra(setup):
+    """The exact-u8 stem scheme: for u8-origin inputs (x = u8/255, the
+    serving case), ``_conv_stem_int8`` must equal the REAL-arithmetic conv
+    with the dequantized weights — the input representation q = u8 − 128 is
+    exact, the conv accumulates in int32 (exact), and the +128 zero-point
+    fold is an identity, so the only rounding left is the f32 epilogue."""
+    from jax import lax
+
+    from yolov3_tpu.quant import _conv_stem_int8
+
+    g, params, _ = setup
+    node = g.conv_nodes[0]
+    assert node.inputs[0] < 0
+    q = quantize_weights(g, params, include_stem=True)
+    qp = q[0]
+    assert "wq" in qp
+
+    rng = np.random.default_rng(5)
+    u8 = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    x = jnp.asarray(u8, jnp.float32) / 255.0
+
+    got = _conv_stem_int8(x, node, qp)
+    # real-arithmetic reference: conv with the DEQUANTIZED weights and the
+    # ORIGINAL (pre-fold) bias — the +128 zero-point fold in qp["b"] must
+    # cancel the shifted representation exactly, leaving only f32 epilogue
+    # rounding
+    w_deq = qp["wq"].astype(jnp.float32) * qp["sw"]
+    pad = node.size // 2
+    want = lax.conv_general_dilated(
+        x, w_deq, (node.stride, node.stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST) + jnp.asarray(params[0]["b"],
+                                                       jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-5)
+
+
+def test_stem_quantization_prenms_parity(setup):
+    """include_stem (round 3): same pre-NMS gates as the backbone/head
+    quantization — the stem adds only weight-rounding error (the input
+    representation is exact for u8-origin pixels)."""
+    g, params, x = setup
+    scales = calibrate(g, params, [x], precision=None)
+    q = quantize_weights(g, params, include_stem=True)
+    assert "wq" in q[0]
+
+    b32, s32, c32 = forward_compact(g, params, x)
+    bq, sq, cq = forward_compact_int8(g, q, scales, x, precision=None)
+    s32n, sqn = np.asarray(s32), np.asarray(sq)
+    b32n, bqn = np.asarray(b32), np.asarray(bq)
+    c32n, cqn = np.asarray(c32), np.asarray(cq)
+    for i in range(x.shape[0]):
+        top = np.argsort(s32n[i])[::-1][:200]
+        assert np.abs(s32n[i][top] - sqn[i][top]).max() <= 0.01
+        assert np.abs(b32n[i][top] - bqn[i][top]).max() <= 0.5
+        assert (c32n[i][top] == cqn[i][top]).all()
+
+
+def test_stem_quantization_carrier_prenms_parity(setup):
+    """include_stem + include_heads with the int8 activation carrier (the
+    full serving fast-path configuration); same pre-NMS gates."""
+    from yolov3_tpu.quant import calibrate_tensors, forward_compact_int8
+
+    g, params, x = setup
+    scales = calibrate_tensors(g, params, [x], precision=None)
+    q = quantize_weights(g, params, include_heads=True, include_stem=True)
+    assert "wq" in q[0]
+
+    b32, s32, c32 = forward_compact(g, params, x)
+    bq, sq, cq = forward_compact_int8(g, q, scales, x, precision=None,
+                                      carrier="int8")
+    s32n, sqn = np.asarray(s32), np.asarray(sq)
+    b32n, bqn = np.asarray(b32), np.asarray(bq)
+    c32n, cqn = np.asarray(c32), np.asarray(cq)
+    for i in range(x.shape[0]):
+        top = np.argsort(s32n[i])[::-1][:200]
+        assert np.abs(s32n[i][top] - sqn[i][top]).max() <= 0.01
+        assert np.abs(b32n[i][top] - bqn[i][top]).max() <= 0.5
+        assert (c32n[i][top] == cqn[i][top]).all()
+
+
 def test_chain_targets_structure(cfg_paths):
     """yolov3's residual bottleneck 1x1s chain into their 3x3 consumers."""
     from yolov3_tpu.quant import chain_targets

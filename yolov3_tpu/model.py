@@ -287,7 +287,8 @@ class Darknet:
 
     def quantize_int8(self, calibration_frames, net_hw=None,
                       mode: str = "letterbox", carrier: str = "int8",
-                      quantize_heads: bool = False) -> "Darknet":
+                      quantize_heads: bool = False,
+                      quantize_stem: bool = False) -> "Darknet":
         """Post-training int8 quantization (see ``quant.py``).
 
         ``calibration_frames``: (N, H, W, 3) uint8 RGB frames (a few dozen
@@ -298,7 +299,8 @@ class Darknet:
         ``forward_features_int8_carrier``); ``carrier="bf16"`` quantizes at
         each conv input (round-1 scheme). Both hold the same parity gates
         (tests/test_quant.py). ``quantize_heads=True`` also quantizes the
-        no-BN head projections (see ``quant.eligible``)."""
+        no-BN head projections; ``quantize_stem=True`` quantizes the Cin=3
+        stem conv via the exact-u8 input scheme (see ``quant.eligible``)."""
         from .ops.preprocess import preprocess
         from .quant import calibrate, calibrate_tensors, quantize_weights
 
@@ -325,7 +327,8 @@ class Darknet:
                 include_heads=quantize_heads)
         self.qcarrier = carrier
         self.qparams = quantize_weights(self.graph, self.params,
-                                        include_heads=quantize_heads)
+                                        include_heads=quantize_heads,
+                                        include_stem=quantize_stem)
         return self
 
     @property

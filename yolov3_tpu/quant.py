@@ -13,9 +13,11 @@ bad calibration can degrade accuracy but never correctness):
   convolves int8×int8→int32 on the MXU, and dequantizes in the epilogue
   (scale·bias·LeakyReLU) — route/shortcut/upsample/maxpool never deal with
   mismatched scales;
-* **exclusions**: the 3-channel stem and the no-BN linear head convs stay
-  bf16 (heads carry the box regression signal; the stem is bandwidth-bound,
-  not MXU-bound — quantizing it buys nothing).
+* **exclusions** (both opt-in since round 3): the no-BN linear head convs
+  quantize under ``include_heads`` (gated: same pre-NMS parity bars as the
+  backbone); the 3-channel stem quantizes under ``include_stem`` via the
+  exact-u8 input representation (``q = u8 − 128``, scale 1/255 — zero input
+  quantization error; see :func:`_conv_stem_int8`).
 
 Usage::
 
@@ -37,32 +39,48 @@ from .graph import Graph, Node
 from .model import _maxpool, _upsample_nearest, _PRECISIONS
 
 
-def eligible(graph: Graph, node: Node, include_heads: bool = False) -> bool:
-    """Quantize BN'd convs (stem has Cin=3 and stays bf16 — layout-bound,
-    not MXU-bound). ``include_heads=True`` additionally quantizes the no-BN
-    linear head convs (the 1×1 projections feeding each yolo decode): their
-    input quantizes per-tensor like every other conv and their f32 output
-    feeds decode directly (never requantized — yolo heads are not
+def eligible(graph: Graph, node: Node, include_heads: bool = False,
+             include_stem: bool = False) -> bool:
+    """Quantize BN'd convs. ``include_heads=True`` additionally quantizes the
+    no-BN linear head convs (the 1×1 projections feeding each yolo decode):
+    their input quantizes per-tensor like every other conv and their f32
+    output feeds decode directly (never requantized — yolo heads are not
     q-friendly), so the only added error is the weight/input rounding.
-    Accuracy is gated by tests/test_quant.py::test_head_quantization_*."""
+    Accuracy is gated by tests/test_quant.py::test_head_quantization_*.
+
+    ``include_stem=True`` (round 3) quantizes the Cin=3 stem conv too. Its
+    input is special: preprocessed pixels are exactly ``u8/255``, so
+    ``q = u8 - 128`` is an EXACT int8 image (fixed scale 1/255, zero-point
+    -128; zero padding ≡ q = -128) — the input quantizes with ZERO error and
+    the only new rounding is the per-channel weight quantization every other
+    conv already has. int8 MXU runs 2× bf16, so the conv0-is-bf16 exclusion
+    (the old "layout-bound, buys nothing" judgment) left measurable time on
+    the table at @608 b128; gated by tests/test_quant.py::test_stem_*."""
     src = node.inputs[0]
-    c_in = graph.in_channels if src < 0 else graph.nodes[src].out_channels
+    if src < 0:  # stem conv: reads the network input directly
+        return include_stem and node.batch_normalize
+    c_in = graph.nodes[src].out_channels
     if not node.batch_normalize and not include_heads:
         return False
     return c_in >= 16
 
 
-def quantize_weights(graph: Graph, params, include_heads: bool = False
+def quantize_weights(graph: Graph, params, include_heads: bool = False,
+                     include_stem: bool = False
                      ) -> Dict[int, Dict[str, jax.Array]]:
     """Per-output-channel symmetric int8 quantization of folded conv weights.
 
     Returns qparams: eligible convs get {"wq" int8 HWIO, "sw" (C,) f32,
-    "b" f32}; ineligible convs keep {"w", "b"} untouched.
+    "b" f32}; ineligible convs keep {"w", "b"} untouched. The stem conv
+    (``include_stem``) additionally folds the exact-u8 zero-point correction
+    into its bias: with x = (q + 128)/255 and zero padding carried as
+    q = -128, conv(x) = (conv_int(q) + 128·Σ_taps wq)·sw/255 — the constant
+    Σ term is per-output-channel and lands here.
     """
     q: Dict[int, Dict[str, jax.Array]] = {}
     for node in graph.conv_nodes:
         p = params[node.index]
-        if not eligible(graph, node, include_heads):
+        if not eligible(graph, node, include_heads, include_stem):
             q[node.index] = {"w": jnp.asarray(p["w"]),
                              "b": jnp.asarray(p["b"], jnp.float32)}
             continue
@@ -70,8 +88,12 @@ def quantize_weights(graph: Graph, params, include_heads: bool = False
         sw = np.abs(w).reshape(-1, w.shape[3]).max(axis=0) / 127.0
         sw = np.maximum(sw, 1e-12).astype(np.float32)
         wq = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
+        b = np.asarray(p["b"], np.float32)
+        if node.inputs[0] < 0:  # stem: fold the +128 zero-point term
+            wsum = wq.reshape(-1, w.shape[3]).astype(np.int64).sum(axis=0)
+            b = b + (128.0 / 255.0) * sw * wsum.astype(np.float32)
         q[node.index] = {"wq": jnp.asarray(wq), "sw": jnp.asarray(sw),
-                         "b": jnp.asarray(p["b"], jnp.float32)}
+                         "b": jnp.asarray(b, jnp.float32)}
     return q
 
 
@@ -140,6 +162,29 @@ def _conv_int8_core(x_or_q, node: Node, qp, sx: float,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
     return y.astype(jnp.float32) * (qp["sw"] * jnp.float32(sx)) + qp["b"]
+
+
+def _conv_stem_int8(x: jax.Array, node: Node, qp) -> jax.Array:
+    """int8 stem conv on the EXACT u8 input representation.
+
+    ``x`` is the preprocessed network input in [0, 1] (values ``u8/255`` for
+    identity-resize sources; resized sources add ≤0.5/255 input rounding —
+    finer than any calibrated activation scale). ``q = round(255·x) − 128``
+    spans [−128, 127]; zero padding must be carried as q = −128 (≡ x = 0),
+    so the SAME pad happens explicitly in the quantized domain rather than
+    inside the conv. The +128 zero-point term is already folded into
+    ``qp["b"]`` (:func:`quantize_weights`). Returns the f32 pre-activation."""
+    xq = (jnp.round(x.astype(jnp.float32) * 255.0) - 128.0).astype(jnp.int8)
+    pad = node.size // 2 if node.pad else 0
+    if pad:
+        xq = jnp.pad(xq, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                     constant_values=np.int8(-128))
+    y = lax.conv_general_dilated(
+        xq, qp["wq"], (node.stride, node.stride), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (qp["sw"] * jnp.float32(1.0 / 255.0)) \
+        + qp["b"]
 
 
 def consumers_of(graph: Graph) -> Dict[int, List[Node]]:
@@ -254,7 +299,11 @@ def forward_features_int8_carrier(
         if node.kind == "convolutional":
             qp = qparams[node.index]
             if "wq" in qp:
-                if prev[0] == "q":
+                if node.inputs[0] < 0:
+                    # stem: exact-u8 int8 input from the RAW network input
+                    # (not the carrier cast — bf16 would break exactness)
+                    y = _conv_stem_int8(x, node, qp)
+                elif prev[0] == "q":
                     y = _conv_int8_core(prev[1], node, qp, prev[2],
                                         prequantized=True)
                 else:
@@ -345,9 +394,14 @@ def forward_features_int8(graph: Graph, qparams, scales: Dict[int, float],
         if node.kind == "convolutional":
             qp = qparams[node.index]
             if "wq" in qp:
-                y = _conv_int8_core(prev_q if prev_q is not None else prev,
-                                    node, qp, scales[node.index],
-                                    prequantized=prev_q is not None)
+                if node.inputs[0] < 0:
+                    # stem: exact-u8 int8 input — fixed 1/255 scale, no
+                    # calibrated entry needed (see _conv_stem_int8)
+                    y = _conv_stem_int8(x, node, qp)
+                else:
+                    y = _conv_int8_core(prev_q if prev_q is not None else prev,
+                                        node, qp, scales[node.index],
+                                        prequantized=prev_q is not None)
                 y = _activate(y, node.activation)
                 if node.index in chains:
                     # emit int8 directly in the consumer's scale; the bf16
