@@ -374,6 +374,28 @@ def test_cli_scan_directory(tiny_weights, sample_images, cfg_paths, capsys):
     assert "images" in capsys.readouterr().out
 
 
+def test_cli_spatial_partition(tiny_weights, sample_images, cfg_paths,
+                               tmp_path, capsys):
+    """--spatial N: single-image latency mode over the virtual mesh."""
+    out = tmp_path / "out.jpg"
+    rc = _cli(["--image", sample_images[1][0],
+               "--config", cfg_paths["yolov3-tiny"],
+               "--weights", tiny_weights,
+               "--net-size", "160", "--spatial", "4",
+               "--no-show", "--output", str(out), "--verbose",
+               "--prob-thresh", "0.3"])
+    assert rc == 0
+    assert out.exists()
+    assert "detections" in capsys.readouterr().out
+
+
+def test_cli_spatial_too_many_devices(tiny_weights, sample_images, cfg_paths):
+    with pytest.raises(SystemExit, match="--spatial 64"):
+        _cli(["--image", sample_images[1][0],
+              "--config", cfg_paths["yolov3-tiny"],
+              "--weights", tiny_weights, "--spatial", "64", "--no-show"])
+
+
 def test_detector_warmup(tiny_weights, cfg_paths):
     from yolov3_tpu.inference import Detector
     from yolov3_tpu.model import Darknet

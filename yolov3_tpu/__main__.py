@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="pallas",
                    help="head decode backend (pallas = fused native-layout "
                         "kernel, the measured-fastest serving default)")
+    p.add_argument("--spatial", type=int, default=None, metavar="N",
+                   help="shard EACH image's rows over N chips (latency "
+                        "mode: halo-exchange convs + channel-pair tail, "
+                        "parallel/spatial.py); needs N visible devices and "
+                        "float precision")
     p.add_argument("--summary", action="store_true",
                    help="print the darknet-style layer table before running")
     p.add_argument("--no-compile-cache", action="store_true",
@@ -177,12 +182,24 @@ def main(argv=None) -> int:
             print(f"int8-quantized with {len(calib)} calibration images")
 
     net_hw = (args.net_size, args.net_size) if args.net_size else None
+    mesh, partition = None, "data"
+    if args.spatial:
+        from .parallel.spatial import make_spatial_mesh
+
+        if args.spatial < 2:
+            raise SystemExit(f"--spatial {args.spatial}: needs >= 2 devices")
+        try:
+            mesh = make_spatial_mesh(args.spatial)
+        except ValueError as e:
+            raise SystemExit(f"--spatial {args.spatial}: {e}")
+        partition = "spatial"
     detector = Detector(net, prob_thresh=args.prob_thresh,
                         iou_thresh=args.iou_thresh,
                         resize_mode=args.resize_mode, top_k=args.top_k,
                         net_hw=net_hw, nms_impl=args.nms_impl,
                         decode_impl=args.decode_impl,
-                        max_results=args.max_results, scan=args.scan)
+                        max_results=args.max_results, scan=args.scan,
+                        mesh=mesh, partition=partition)
     class_names = (load_class_names(args.class_names)
                    if Path(args.class_names).exists() else None)
 

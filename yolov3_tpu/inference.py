@@ -58,7 +58,8 @@ class Detector:
                  top_k: int = 512, bgr: bool = True,
                  net_hw: Optional[Tuple[int, int]] = None, mesh=None,
                  nms_impl: str = "xla", decode_impl: str = "pallas",
-                 max_results: int = 128, scan: int = 1):
+                 max_results: int = 128, scan: int = 1,
+                 partition: str = "data"):
         self.net = net
         self.prob_thresh = float(prob_thresh)
         self.iou_thresh = float(iou_thresh)
@@ -88,20 +89,44 @@ class Detector:
             # would need its own shard_map spec plumbing — unsupported
             raise ValueError("scan > 1 is not supported together with mesh=")
         self.net_hw = tuple(net_hw) if net_hw else net.net_size
-        # batch-DP over a device mesh (SURVEY.md §2.15): params replicate
-        # once, every batch shards on its leading axis; single-device mesh
-        # degrades to identity so the code path is uniform
+        # multi-chip: partition="data" is batch-DP (throughput — params
+        # replicate once, batches shard on their leading axis, zero
+        # steady-state collectives; SURVEY.md §2.15); partition="spatial"
+        # row-shards EACH image over the mesh (latency — halo-exchange
+        # convs + channel-pair tail, parallel/spatial.py)
+        if partition not in ("data", "spatial"):
+            raise ValueError(f"unknown partition {partition!r}")
+        self.partition = partition
         self.mesh = mesh
         if mesh is not None:
             if net.params is None:
                 raise RuntimeError(
                     "Detector(mesh=...) needs loaded weights — call "
                     "net.load_weights()/set_params() before constructing")
-            from .parallel.sharding import shard_params
+            if partition == "spatial":
+                from .parallel.sharding import replicate
+                from .parallel.spatial import SPACE_AXIS
 
-            self.net.params = shard_params(self.net.params, mesh)
-            if self.net.quantized:
-                self.net.qparams = shard_params(self.net.qparams, mesh)
+                if tuple(mesh.axis_names) != (SPACE_AXIS,):
+                    raise ValueError(
+                        "partition='spatial' needs a make_spatial_mesh() "
+                        f"mesh (axis {SPACE_AXIS!r}), got {mesh.axis_names}")
+                if self.net.quantized:
+                    raise ValueError(
+                        "int8 + spatial partitioning is out of scope "
+                        "(parallel/spatial.py — bf16/fp32 only)")
+                self.net.params = jax.device_put(self.net.params,
+                                                 replicate(mesh))
+            else:
+                from .parallel.sharding import DATA_AXIS, shard_params
+
+                if tuple(mesh.axis_names) != (DATA_AXIS,):
+                    raise ValueError(
+                        "partition='data' needs a make_mesh() mesh (axis "
+                        f"{DATA_AXIS!r}), got {mesh.axis_names}")
+                self.net.params = shard_params(self.net.params, mesh)
+                if self.net.quantized:
+                    self.net.qparams = shard_params(self.net.qparams, mesh)
         # LRU-bounded: quantized entries close over their qparams, so an
         # unbounded cache would pin every superseded int8 param set across
         # re-quantizations (round-2 review); 16 covers realistic
@@ -143,6 +168,21 @@ class Detector:
                             "falling back to decode_impl='xla'")
                 decode_impl = "xla"
         max_results = self.max_results
+
+        if self.mesh is not None and self.partition == "spatial":
+            from .parallel.spatial import spatial_pipeline
+
+            if self.net.quantized:  # quantized AFTER construction
+                raise ValueError("int8 + spatial partitioning is out of "
+                                 "scope (parallel/spatial.py)")
+            run = spatial_pipeline(graph, self.mesh, net_hw=net_hw,
+                                   prob_thresh=prob, iou_thresh=iou,
+                                   top_k=top_k, mode=mode,
+                                   precision=precision, bgr=bgr,
+                                   nms_impl=nms_impl,
+                                   decode_impl=decode_impl,
+                                   max_results=max_results)
+            return self._finalize(key, run)
 
         if self.mesh is not None:
             from .parallel.sharding import sharded_pipeline
@@ -320,6 +360,12 @@ class Detector:
                 b += pad
             stack = frames.reshape(k, b // k, *frames.shape[1:])
             return jnp.asarray(stack), b // k, n_real
+        if self.mesh is not None and self.partition == "spatial":
+            # every chip sees the full (small) batch; rows shard inside
+            from .parallel.sharding import replicate
+
+            return (jax.device_put(jnp.asarray(frames),
+                                   replicate(self.mesh)), b, n_real)
         if self.mesh is not None:
             from .parallel.sharding import batch_sharding
 

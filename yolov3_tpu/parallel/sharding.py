@@ -12,10 +12,11 @@ the host→device scatter of the input batch, which rides ICI after the first
 transfer.
 
 YOLOv3 is ~62 M params (≈248 MB fp32, ≈124 MB bf16) — it fits trivially in
-one chip's HBM, so tensor/pipeline parallelism would only add collective
-latency for zero memory benefit; TP/PP are deliberately out of scope
-(SURVEY.md §2.15). On a single-device mesh every sharding below degrades to
-identity, so the same code path runs 1-chip and N-chip.
+one chip's HBM, so memory never forces model parallelism (SURVEY.md
+§2.15); for LATENCY-bound serving, where DP cannot help, ``spatial.py``
+shards single images over the mesh instead (halo-exchange rows + channel
+pairs). On a single-device mesh every sharding below degrades to identity,
+so the same code path runs 1-chip and N-chip.
 """
 from __future__ import annotations
 
