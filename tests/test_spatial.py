@@ -83,6 +83,20 @@ def test_plan_rejects_bad_configs(cfg_paths):
         plan_spatial(g, 1, (608, 608))
 
 
+def test_feasibility_rejects_low_padded_pool():
+    """A stride==size pool with a LOW vertical pad row cannot run on bands
+    (the sharded form drops vertical padding); darknet's size-2 pool
+    (padding=1 → lo=0) can."""
+    from yolov3_tpu.parallel.spatial import _node_feasible
+
+    ok = Node(index=0, kind="maxpool", inputs=(-1,), out_channels=4,
+              downsample=2, size=2, stride=2, padding=1)
+    bad = Node(index=0, kind="maxpool", inputs=(-1,), out_channels=4,
+               downsample=4, size=4, stride=4, padding=3)  # lo = 1
+    assert _node_feasible(ok, 32, 4)
+    assert not _node_feasible(bad, 32, 4)
+
+
 @pytest.mark.parametrize("stride", [1, 2])
 def test_halo_conv_exact(stride):
     mesh = make_spatial_mesh(4)

@@ -47,7 +47,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..graph import Graph, Node
 from ..model import _PRECISIONS, _conv, _maxpool, _upsample_nearest
@@ -101,8 +101,13 @@ def _node_feasible(node: Node, h_in: int, n: int) -> bool:
         return False
     if node.kind == "maxpool":
         if node.stride == node.size:
-            # non-overlapping windows; high pad row unread for divisible H
-            return local % node.size == 0
+            # non-overlapping windows; feasible only with no LOW vertical
+            # pad (the sharded form drops vertical padding entirely — the
+            # high pad row is unread for divisible H, but a low pad row
+            # would shift every window). darknet's default padding=size-1
+            # gives lo = (size-1)//2 = 0 exactly for size 2, the only
+            # stride==size pool in the published cfgs.
+            return local % node.size == 0 and node.padding // 2 == 0
         if node.stride == 1:
             lo = node.padding // 2
             hi = node.padding - lo
