@@ -356,11 +356,17 @@ def test_detector_scan_validation(tiny_weights, cfg_paths):
     from yolov3_tpu.model import Darknet
     from yolov3_tpu.parallel.sharding import make_mesh
 
+    from yolov3_tpu.parallel.spatial import make_spatial_mesh
+
     net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(tiny_weights)
     with pytest.raises(ValueError, match="scan"):
         Detector(net, scan=0)
-    with pytest.raises(ValueError, match="mesh"):
-        Detector(net, scan=2, mesh=make_mesh(1))
+    # scan composes with a DATA mesh (test_sharding.py::test_detector_scan_
+    # on_mesh); with the spatial latency mode it has no use case
+    with pytest.raises(ValueError, match="partition='data'"):
+        Detector(net, scan=2, mesh=make_spatial_mesh(2),
+                 partition="spatial")
+    assert Detector(net, scan=2, mesh=make_mesh(1)).scan == 2
 
 
 def test_cli_scan_directory(tiny_weights, sample_images, cfg_paths, capsys):

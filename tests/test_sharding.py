@@ -185,6 +185,34 @@ def test_mesh_mixed_and_pipelined_pad_paths(cfg_paths, tmp_path):
     assert sum(len(d) for d in done) == 3
 
 
+def test_detector_scan_on_mesh(tiny_setup, cfg_paths, tmp_path):
+    """Detector(mesh=..., scan=K): the multi-chip throughput configuration —
+    K steps scanned inside the sharded program, batch padded to scan×mesh,
+    results merged host-side back to the unscanned contract."""
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.weights import random_raw, write_weights
+
+    g, _ = tiny_setup
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=0))
+
+    net_m = Darknet(cfg_paths["yolov3-tiny"]).load_weights(wpath)
+    det_m = Detector(net_m, prob_thresh=0.3, mesh=make_mesh(4), scan=2,
+                     net_hw=(160, 160))
+    net_1 = Darknet(cfg_paths["yolov3-tiny"]).load_weights(wpath)
+    det_1 = Detector(net_1, prob_thresh=0.3, net_hw=(160, 160))
+
+    frames = np.random.default_rng(6).integers(
+        0, 256, (10, 96, 128, 3), dtype=np.uint8)  # 10 % (2·4) → pad path
+    r_m = det_m.detect_batch(frames)
+    r_1 = det_1.detect_batch(frames)
+    assert len(r_m) == len(r_1) == 10
+    for a, b in zip(r_m, r_1):
+        np.testing.assert_array_equal(a.class_idx, b.class_idx)
+        np.testing.assert_allclose(a.bbox_tlbr, b.bbox_tlbr, atol=1e-3)
+
+
 _COLLECTIVES = ("all-gather", "all-reduce", "collective-permute",
                 "all-to-all", "reduce-scatter")
 
@@ -207,6 +235,22 @@ def test_zero_collectives_in_compiled_hlo(tiny_setup):
     assert not found, (f"sharded pipeline compiled with collectives {found} "
                        "— the shard_map zero-collective contract regressed "
                        "(parallel/sharding.py)")
+
+
+def test_zero_collectives_in_scanned_sharded_hlo(tiny_setup):
+    """The scan=K sharded program keeps the zero-collective contract: the
+    scan runs inside shard_map and results stay batch-sharded (axis 1) —
+    no merge-induced all-to-all may appear in the compiled HLO."""
+    g, params = tiny_setup
+    mesh = make_mesh(8)
+    run = sharded_pipeline(g, mesh, net_hw=(160, 160), top_k=32, scan=2)
+    frames = jax.device_put(
+        jnp.zeros((2, 8, 96, 128, 3), jnp.uint8),
+        NamedSharding(mesh, P(None, "data")))
+    hlo = run.lower(shard_params(params, mesh), frames).compile().as_text()
+    found = [c for c in _COLLECTIVES if c in hlo]
+    assert not found, (f"scanned sharded pipeline compiled with collectives "
+                       f"{found} (parallel/sharding.py scan path)")
 
 
 def test_plain_jit_would_insert_collectives(tiny_setup):

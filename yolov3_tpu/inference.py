@@ -83,11 +83,10 @@ class Detector:
         self.scan = int(scan)
         if self.scan < 1:
             raise ValueError(f"scan must be >= 1, got {scan}")
-        if self.scan > 1 and mesh is not None:
-            # on a mesh each dispatch already carries mesh.size× work, and
-            # the scanned batch axis (axis 1 of the staged (K, B, ...) input)
-            # would need its own shard_map spec plumbing — unsupported
-            raise ValueError("scan > 1 is not supported together with mesh=")
+        if self.scan > 1 and mesh is not None and partition != "data":
+            # scan is a throughput knob; spatial partitioning is the
+            # latency mode — the combination has no use case
+            raise ValueError("scan > 1 requires partition='data' on a mesh")
         self.net_hw = tuple(net_hw) if net_hw else net.net_size
         # multi-chip: partition="data" is batch-DP (throughput — params
         # replicate once, batches shard on their leading axis, zero
@@ -197,7 +196,8 @@ class Detector:
                                                          "bf16"),
                                          nms_impl=nms_impl,
                                          decode_impl=decode_impl,
-                                         max_results=max_results)
+                                         max_results=max_results,
+                                         scan=self.scan)
                 qparams = self.net.qparams
                 run = lambda params, frames: run_q(qparams, frames)  # noqa: E731
             else:
@@ -208,8 +208,12 @@ class Detector:
                                        conv_impl=conv_impl,
                                        nms_impl=nms_impl,
                                        decode_impl=decode_impl,
-                                       max_results=max_results)
-            return self._finalize(key, run)
+                                       max_results=max_results,
+                                       scan=self.scan)
+            # the scan (if any) runs INSIDE the sharded program; results
+            # come back (scan, B, ...) and _unpack merges them host-side
+            self._cache_pipeline(key, run)
+            return run
 
         if self.net.quantized:
             from .quant import forward_compact_int8
@@ -312,6 +316,14 @@ class Detector:
         boxes = np.asarray(res.boxes)
         scores = np.asarray(res.scores)
         classes = np.asarray(res.classes)
+        if valid.ndim == 3:
+            # scanned-on-mesh results arrive (scan, B, ...) — the batch axis
+            # stays sharded on-device (zero-collective contract), so the
+            # merge back to (scan·B, ...) happens here in host numpy; the
+            # C-order reshape reproduces the frame order k·B + b exactly
+            valid, boxes, scores, classes = (
+                a.reshape(-1, *a.shape[2:])
+                for a in (valid, boxes, scores, classes))
         unmap = unletterbox_tlbr if self.resize_mode == "letterbox" else unstretch_tlbr
         out: List[Detection] = []
         for i in range(valid.shape[0]):
@@ -353,12 +365,24 @@ class Detector:
         n_real = b
         if self.scan > 1:
             k = self.scan
-            if b % k:
-                pad = k - b % k
+            # on a data mesh the per-step batch must also shard: pad to a
+            # multiple of scan×mesh and shard the stack's axis 1
+            unit = k * (self.mesh.size if self.mesh is not None else 1)
+            if b % unit:
+                pad = unit - b % unit
                 frames = np.concatenate(
                     [frames, np.zeros((pad, *frames.shape[1:]), frames.dtype)])
                 b += pad
             stack = frames.reshape(k, b // k, *frames.shape[1:])
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                from .parallel.sharding import DATA_AXIS
+
+                stack = jax.device_put(
+                    jnp.asarray(stack),
+                    NamedSharding(self.mesh,
+                                  PartitionSpec(None, DATA_AXIS)))
+                return stack, b // k, n_real
             return jnp.asarray(stack), b // k, n_real
         if self.mesh is not None and self.partition == "spatial":
             # every chip sees the full (small) batch; rows shard inside

@@ -25,6 +25,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:  # public location since jax 0.8 (kw: check_vma)
@@ -73,13 +74,22 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
                      act_scales=None, carrier: str = "bf16",
                      conv_impl: str = "xla",
                      nms_impl: str = "xla", decode_impl: str = "pallas",
-                     max_results: int = 0):
+                     max_results: int = 0, scan: int = 1):
     """Build the batch-DP end-to-end detect step, jitted over ``mesh``.
 
     Returns ``run(params, frames_u8)``: uint8 (B, H, W, 3) sharded on batch →
     NMSResult pytree sharded on batch. B must be divisible by mesh size.
     Pass ``act_scales`` (and int8 qparams as ``params``) for the quantized
     path.
+
+    ``scan > 1`` is the multi-chip throughput configuration: the input is a
+    (scan, B, H, W, 3) stack sharded on axis 1, and each chip runs a
+    ``lax.scan`` of ``scan`` full steps over its local slice inside ONE
+    dispatched program (launch overhead amortizes scan×, exactly as in the
+    single-chip ``Detector(scan=)``). Results come back as a (scan, B, ...)
+    pytree still sharded on axis 1 — the batch axis never crosses chips, so
+    the zero-collective contract is preserved; callers merge the two
+    leading axes host-side (``Detector._unpack`` does).
     """
     from ..model import forward_compact
     from ..ops.nms import batched_nms_compact
@@ -143,6 +153,29 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
     # per-shard on its local batch slice, so every op — XLA or Mosaic — is
     # chip-local by construction and the only cross-chip traffic is the
     # input scatter.
+    if scan > 1:
+        def step_scanned(params, frames_stack):
+            def body(carry, fr):
+                return carry, step(params, fr)
+
+            _, res = jax.lax.scan(body, jnp.int32(0), frames_stack)
+            return res
+
+        mapped = shard_map(
+            step_scanned, mesh=mesh,
+            in_specs=(P(), P(None, DATA_AXIS)),
+            out_specs=P(None, DATA_AXIS),
+            check_rep=False,
+        )
+        stack_in = NamedSharding(mesh, P(None, DATA_AXIS))
+        stack_out = NamedSharding(mesh, P(None, DATA_AXIS))
+        return jax.jit(
+            mapped,
+            in_shardings=(replicate(mesh), stack_in),
+            out_shardings=jax.tree.map(lambda _: stack_out,
+                                       _nms_result_struct()),
+        )
+
     mapped = shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
