@@ -276,3 +276,102 @@ def test_pallas_compact_decode_e2e_same_detections(cfg_paths):
         sb = {(tuple(np.round(bb, 3)), int(c), round(float(s), 5))
               for bb, s, c in zip(b.bbox_tlbr, b.class_prob, b.class_idx)}
         assert sa == sb
+
+
+def test_fused_head_decode_matches_packed(cfg_paths):
+    """Head-conv-fused packed decode ≈ XLA head conv + packed decode.
+
+    fp32 `highest` on both sides: the only numeric difference is the
+    accumulation order of the 1×1 projection (XLA conv vs in-kernel MXU
+    dot), so payload/scores agree to float tolerance with IDENTICAL
+    candidate order."""
+    from yolov3_tpu.graph import load_graph
+    from yolov3_tpu.model import (forward_packed, forward_packed_fused,
+                                  fused_heads_eligible)
+    from yolov3_tpu.weights import fold_raw, random_raw
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    assert fused_heads_eligible(g)
+    params = fold_raw(random_raw(g, seed=21))
+    params = {k: {n: jnp.asarray(a) for n, a in v.items()}
+              for k, v in params.items()}
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.random((2, 160, 160, 3)), jnp.float32)
+    p0, s0 = forward_packed(g, params, x, prob_thresh=0.2,
+                            precision="highest")
+    p1, s1 = forward_packed_fused(g, params, x, prob_thresh=0.2,
+                                  precision="highest")
+    assert p0.shape == p1.shape and s0.shape == s1.shape
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                               atol=1e-5, rtol=1e-4)
+    # boxes only meaningful where a candidate survived the threshold
+    m = (np.asarray(s0) > 0) & (np.asarray(s1) > 0)
+    np.testing.assert_allclose(np.asarray(p0)[m], np.asarray(p1)[m],
+                               atol=5e-3, rtol=1e-4)
+    # candidate-index lane rides through bit-exact (it is data-independent)
+    np.testing.assert_array_equal(np.asarray(p0)[..., 6],
+                                  np.asarray(p1)[..., 6])
+
+
+def test_fused_head_decode_e2e_same_detections(cfg_paths):
+    """Full pipeline detections under decode_impl pallas vs pallas-fused
+    agree to float tolerance (score-sorted match, same classes/counts)."""
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.weights import fold_raw, random_raw
+    from yolov3_tpu.graph import load_graph
+
+    g = load_graph(cfg_paths["yolov3"])
+    params = fold_raw(random_raw(g, seed=13))
+    net_p = Darknet(cfg_paths["yolov3"],
+                    precision="highest").set_params(params)
+    net_f = Darknet(cfg_paths["yolov3"],
+                    precision="highest").set_params(params)
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 256, (2, 240, 320, 3), dtype=np.uint8)
+    det_p = Detector(net_p, prob_thresh=0.3, net_hw=(128, 128),
+                     decode_impl="pallas")
+    det_f = Detector(net_f, prob_thresh=0.3, net_hw=(128, 128),
+                     decode_impl="pallas-fused")
+    rp = det_p.detect_batch(frames)
+    rf = det_f.detect_batch(frames)
+    for a, b in zip(rp, rf):
+        assert len(a.class_prob) == len(b.class_prob)
+        oa = np.argsort(-a.class_prob, kind="stable")
+        ob = np.argsort(-b.class_prob, kind="stable")
+        np.testing.assert_allclose(a.class_prob[oa], b.class_prob[ob],
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_array_equal(a.class_idx[oa], b.class_idx[ob])
+        np.testing.assert_allclose(a.bbox_tlbr[oa], b.bbox_tlbr[ob],
+                                   atol=5e-3, rtol=1e-3)
+
+
+def test_fused_heads_eligibility_gate(cfg_paths):
+    """All published variants are fused-eligible; a non-linear head conv or
+    a non-lane-aligned Cin disqualifies (and the Detector falls back)."""
+    import dataclasses
+
+    from yolov3_tpu.graph import load_graph
+    from yolov3_tpu.model import fused_heads_eligible
+
+    for name in ("yolov3", "yolov3-tiny", "yolov3-spp"):
+        assert fused_heads_eligible(load_graph(cfg_paths[name])), name
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    hc = g.yolo_nodes[0].inputs[0]
+    nodes = list(g.nodes)
+    nodes[hc] = dataclasses.replace(nodes[hc], activation="leaky")
+    g_bad = dataclasses.replace(g, nodes=tuple(nodes))
+    assert not fused_heads_eligible(g_bad)
+
+
+def test_fused_head_decode_rejects_bad_shapes():
+    """decode_packed_head_fused_pallas raises on non-aligned Cin rather than
+    emitting a wrong-layout kernel."""
+    from yolov3_tpu.ops.pallas_decode import decode_packed_head_fused_pallas
+
+    x = jnp.zeros((1, 4, 4, 96), jnp.float32)  # 96 % 128 != 0
+    w = jnp.zeros((96, 128), jnp.float32)
+    b = jnp.zeros((128,), jnp.float32)
+    with pytest.raises(ValueError):
+        decode_packed_head_fused_pallas(x, w, b, ANCHORS, 32, 80)

@@ -134,6 +134,42 @@ def check_packed_decode():
     assert ok, "packed decode path diverges on TPU"
 
 
+def check_fused_head_decode():
+    """Head-conv-fused packed decode on chip: same survivors as the unfused
+    packed path at fp32 `highest` (float-tolerance scores/boxes — the head
+    projection accumulates in-kernel without the intermediate head map)."""
+    from yolov3_tpu.graph import load_graph
+    from yolov3_tpu.model import (forward_packed, forward_packed_fused,
+                                  fused_heads_eligible)
+    from yolov3_tpu.ops.nms import batched_nms_packed
+    from yolov3_tpu.weights import fold_raw, random_raw
+
+    repo = Path(__file__).parent.parent
+    g = load_graph(repo / "models" / "yolov3-tiny.cfg")
+    assert fused_heads_eligible(g)
+    params = {k: {n: jnp.asarray(v) for n, v in p.items()}
+              for k, p in fold_raw(random_raw(g, seed=3)).items()}
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 416, 416, 3)).astype(np.float32))
+    p0, s0 = jax.jit(lambda p, x: forward_packed(
+        g, p, x, prob_thresh=0.3, precision="highest"))(params, x)
+    p1, s1 = jax.jit(lambda p, x: forward_packed_fused(
+        g, p, x, prob_thresh=0.3, precision="highest"))(params, x)
+    r0 = batched_nms_packed(p0, s0, iou_thresh=0.4)
+    r1 = batched_nms_packed(p1, s1, iou_thresh=0.4)
+    n0, n1 = (int(np.asarray(r.valid).sum()) for r in (r0, r1))
+    same_cls = np.array_equal(
+        np.asarray(r0.classes)[np.asarray(r0.valid)],
+        np.asarray(r1.classes)[np.asarray(r1.valid)]) if n0 == n1 else False
+    box_close = (np.allclose(np.asarray(r0.boxes)[np.asarray(r0.valid)],
+                             np.asarray(r1.boxes)[np.asarray(r1.valid)],
+                             atol=5e-3, rtol=1e-4) if n0 == n1 else False)
+    print(f"fused-head decode compiled: survivors {n1} (unfused {n0}), "
+          f"classes match: {same_cls}, boxes close: {box_close}")
+    assert n0 == n1 and same_cls and box_close, \
+        "fused-head decode diverges on TPU"
+
+
 def time_stage(fn, args, iters=5, label=""):
     out = fn(*args)
     jax.tree.map(lambda x: float(jnp.sum(x.astype(jnp.float32))), out)
@@ -204,6 +240,7 @@ def main():
     check_nms()
     check_pairmax_select()
     check_packed_decode()
+    check_fused_head_decode()
     check_conv()
     check_e2e_pipeline()
     print("OK")

@@ -92,10 +92,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="conv backend for eligible 3x3 layers")
     p.add_argument("--nms-impl", choices=("xla", "pallas"), default="xla",
                    help="NMS suppression backend")
-    p.add_argument("--decode-impl", choices=("xla", "pallas"),
+    p.add_argument("--decode-impl",
+                   choices=("xla", "pallas", "pallas-fused"),
                    default="pallas",
                    help="head decode backend (pallas = fused native-layout "
-                        "kernel, the measured-fastest serving default)")
+                        "kernel, the measured-fastest serving default; "
+                        "pallas-fused additionally runs the 1x1 head convs "
+                        "inside the kernel)")
     p.add_argument("--spatial", type=int, default=None, metavar="N",
                    help="shard EACH image's rows over N chips (latency "
                         "mode: halo-exchange convs + channel-pair tail, "

@@ -159,7 +159,21 @@ class Detector:
         conv_impl = self.net.conv_impl
         nms_impl = self.nms_impl
         decode_impl = self.decode_impl
-        if decode_impl == "pallas":
+        if decode_impl == "pallas-fused":
+            # head-conv-fused decode: bf16/fp32 single-chip + batch-DP only
+            # (int8 keeps its own fused carrier path; spatial partitioning
+            # shards the head convs themselves)
+            from .model import fused_heads_eligible
+
+            if (self.net.quantized or self.partition == "spatial"
+                    or not fused_heads_eligible(graph)):
+                log.warning("head-fused decode not applicable here (%s); "
+                            "falling back to decode_impl='pallas'",
+                            "int8" if self.net.quantized else
+                            "spatial" if self.partition == "spatial"
+                            else "graph shape")
+                decode_impl = "pallas"
+        if decode_impl in ("pallas", "pallas-fused"):
             from .ops.pallas_decode import supported as _pallas_decode_ok
 
             if not _pallas_decode_ok([n.anchors for n in graph.yolo_nodes]):
@@ -255,17 +269,21 @@ class Detector:
             if bgr:
                 frames_u8 = frames_u8[..., ::-1]  # BGR→RGB on device
             x = preprocess(frames_u8, net_hw, mode=mode)
-            if decode_impl == "pallas":
+            if decode_impl in ("pallas", "pallas-fused"):
                 # fused packed path: decode kernel emits the candidate
                 # records + thresholded scores; NMS selection consumes them
                 # with zero relayouts (ops/pallas_decode.py,
-                # nms.batched_nms_packed)
-                from .model import forward_packed
+                # nms.batched_nms_packed); "pallas-fused" additionally runs
+                # the 1×1 head convs inside the kernel (the head maps never
+                # round-trip HBM)
+                from .model import forward_packed, forward_packed_fused
 
-                payload, scores = forward_packed(graph, params, x,
-                                                 prob_thresh=prob,
-                                                 precision=precision,
-                                                 conv_impl=conv_impl)
+                fwd = (forward_packed_fused if decode_impl == "pallas-fused"
+                       else forward_packed)
+                payload, scores = fwd(graph, params, x,
+                                      prob_thresh=prob,
+                                      precision=precision,
+                                      conv_impl=conv_impl)
                 return batched_nms_packed(payload, scores, iou_thresh=iou,
                                           top_k=top_k, impl=nms_impl,
                                           max_results=max_results)

@@ -96,14 +96,21 @@ def forward_features(
     x: jax.Array,
     precision: Optional[str] = None,
     conv_impl: str = "xla",
+    stop_before_heads: bool = False,
 ) -> List[jax.Array]:
     """Walk the graph; return the raw NHWC feature map feeding each yolo head.
 
     ``x``: (B, H, W, C) float input in [0, 1]. ``conv_impl="pallas"`` routes
     eligible 3×3/s1 convs through the fused Pallas kernel (ops/pallas_conv).
+    ``stop_before_heads=True`` returns the PRE-head activations instead —
+    the 1×1 head convs are skipped entirely (their projection runs inside
+    the fused Pallas decode kernel, ``forward_packed_fused``); callers must
+    gate on :func:`fused_heads_eligible` first.
     """
     prec = _PRECISIONS[precision]
     needed = graph.needed_outputs
+    head_convs = ({yn.inputs[0] for yn in graph.yolo_nodes}
+                  if stop_before_heads else frozenset())
     cache: Dict[int, jax.Array] = {}
     heads: List[jax.Array] = []
     # "bf16": convs run fully in bfloat16 (weights cast per-conv, activations
@@ -111,7 +118,13 @@ def forward_features(
     # v5e; head decode still runs fp32 (see decode_compact_head docstring)
     prev: jax.Array = x.astype(jnp.bfloat16) if precision == "bf16" else x
     for node in graph.nodes:
-        if node.kind == "convolutional":
+        if node.index in head_convs:
+            # head branch ends here: capture the pre-head activation; the
+            # skipped conv's only consumer is its yolo node (eligibility-
+            # gated), so the pass-through output is never consumed
+            heads.append(prev)
+            out = prev
+        elif node.kind == "convolutional":
             p = params[node.index]
             out = _conv(prev, p["w"], p["b"], node, prec, conv_impl)
         elif node.kind == "maxpool":
@@ -128,7 +141,8 @@ def forward_features(
             srcs = [prev if i == node.index - 1 else cache[i] for i in node.inputs]
             out = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
         elif node.kind == "yolo":
-            heads.append(prev)
+            if not stop_before_heads:
+                heads.append(prev)
             out = prev
         else:  # pragma: no cover - lower() already validates kinds
             raise ValueError(node.kind)
@@ -256,6 +270,71 @@ def forward_packed(
     return decode_packed_pallas(
         heads, [n.anchors for n in yolo_nodes], list(graph.head_strides()),
         yolo_nodes[0].classes, prob_thresh=prob_thresh)
+
+
+def fused_heads_eligible(graph: Graph) -> bool:
+    """Gate for the head-conv-fused decode (``forward_packed_fused``).
+
+    Every head branch must end in a 1×1/s1 linear conv whose ONLY consumer
+    is its yolo node (so skipping it changes nothing downstream), whose
+    input channel count sits on the 128-lane boundary (the in-kernel MXU
+    dot's contraction dim), and whose yolo node's pass-through output feeds
+    nothing. True for yolov3/tiny/spp (Cin 256/384/512/768/1024).
+    """
+    from .ops.pallas_decode import LANES, MAX_ANCHORS
+
+    consumers: Dict[int, int] = {}
+    for n in graph.nodes:
+        for i in n.inputs:
+            if i >= 0:
+                consumers[i] = consumers.get(i, 0) + 1
+    for yn in graph.yolo_nodes:
+        hc = yn.inputs[0]
+        node = graph.nodes[hc]
+        cin = (graph.nodes[node.inputs[0]].out_channels
+               if node.inputs[0] >= 0 else graph.in_channels)
+        if not (node.kind == "convolutional" and node.size == 1
+                and node.stride == 1 and node.activation == "linear"
+                and consumers.get(hc, 0) == 1
+                and consumers.get(yn.index, 0) == 0
+                and cin % LANES == 0
+                and len(yn.anchors) <= MAX_ANCHORS):
+            return False
+    return True
+
+
+def forward_packed_fused(
+    graph: Graph,
+    params: Dict[int, Dict[str, jax.Array]],
+    x: jax.Array,
+    prob_thresh: float,
+    precision: Optional[str] = None,
+    conv_impl: str = "xla",
+):
+    """``forward_packed`` with the 1×1 head convs FUSED into the decode
+    kernel (``ops.pallas_decode.decode_packed_head_fused_pallas``): the
+    graph walk stops at each pre-head activation and the head projection
+    runs as an in-kernel MXU dot — the (B, g, g, C_pad) head maps never
+    round-trip HBM. Same record contract as ``forward_packed``; numerics
+    differ only by the head projection accumulating in f32 without an
+    intermediate bf16 head-map rounding. Callers gate on
+    :func:`fused_heads_eligible`."""
+    from .ops.pallas_decode import decode_packed_fused_pallas
+
+    params = pad_head_params(graph, params)
+    pre = forward_features(graph, params, x, precision, conv_impl,
+                           stop_before_heads=True)
+    yolo_nodes = graph.yolo_nodes
+    ws, bs = [], []
+    for yn in yolo_nodes:
+        p = params[yn.inputs[0]]
+        w = p["w"]  # (1, 1, Cin, C_pad) HWIO
+        ws.append(w.reshape(w.shape[2], w.shape[3]))
+        bs.append(p["b"])
+    return decode_packed_fused_pallas(
+        pre, ws, bs, [n.anchors for n in yolo_nodes],
+        list(graph.head_strides()), yolo_nodes[0].classes,
+        prob_thresh=prob_thresh)
 
 
 class Darknet:

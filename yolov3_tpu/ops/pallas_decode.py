@@ -165,23 +165,15 @@ def decode_head_pallas(
     return out
 
 
-def _decode_compact_kernel(f_ref, o_ref, *, gx, gy, n_rows, rows_tile,
-                           anchors, stride, num_classes, prob_thresh,
-                           head_offset=None, out_rows=False):
-    """Fused compact decode of one row-tile of grid cells.
-
-    Consumes the head map in its NATIVE lane layout — (cells, A·(5+C) pad
-    128) — transposes the tile in-register (channels → sublanes, where any
-    static offset is sliceable), and emits per-anchor (tlbr, thresholded
-    score, class) as an already-transposed (32, cells) block. The XLA
-    alternative must relayout the full map to an 85-lane minor dim, which
-    measures 3.4 ms at 608/b128 for the 76² head alone — the relayout IS
-    the decode cost (sigmoid+exp on the native layout is 0.77 ms).
-    """
+def _decode_ft_records(ft, *, gx, gy, n_rows, rows_tile, anchors, stride,
+                       num_classes, prob_thresh, head_offset, n_out):
+    """Decode one transposed f32 tile ``ft`` (C_pad, rows) — channel =
+    sublane — into the (n_out, rows) record block. Shared body of the
+    compact/packed kernel (which transposes the head map in-register) and
+    the head-fused kernel (which produces ``ft`` straight from an in-kernel
+    MXU projection of the pre-head activation)."""
     per = 5 + num_classes
     tile = pl.program_id(0)
-
-    ft = f_ref[:].astype(jnp.float32).T  # (C_pad, rows): channel = sublane
     rows = ft.shape[1]
 
     # global cell index per lane-position; batch component stripped
@@ -228,9 +220,29 @@ def _decode_compact_kernel(f_ref, o_ref, *, gx, gy, n_rows, rows_tile,
             cand = jnp.broadcast_to(cand, score.shape)
         outs.extend([cx - w * 0.5, cy - h * 0.5, cx + w * 0.5, cy + h * 0.5,
                      score, idx, cand, score * 0])  # 8 rows per anchor
-    n_out = 32 if out_rows else o_ref.shape[0]
     outs.extend([outs[4] * 0] * (n_out - len(outs)))
-    res = jnp.concatenate(outs, axis=0)            # (32, rows)
+    return jnp.concatenate(outs, axis=0)           # (n_out, rows)
+
+
+def _decode_compact_kernel(f_ref, o_ref, *, gx, gy, n_rows, rows_tile,
+                           anchors, stride, num_classes, prob_thresh,
+                           head_offset=None, out_rows=False):
+    """Fused compact decode of one row-tile of grid cells.
+
+    Consumes the head map in its NATIVE lane layout — (cells, A·(5+C) pad
+    128) — transposes the tile in-register (channels → sublanes, where any
+    static offset is sliceable), and emits per-anchor (tlbr, thresholded
+    score, class) as an already-transposed (32, cells) block. The XLA
+    alternative must relayout the full map to an 85-lane minor dim, which
+    measures 3.4 ms at 608/b128 for the 76² head alone — the relayout IS
+    the decode cost (sigmoid+exp on the native layout is 0.77 ms).
+    """
+    ft = f_ref[:].astype(jnp.float32).T  # (C_pad, rows): channel = sublane
+    n_out = 32 if out_rows else o_ref.shape[0]
+    res = _decode_ft_records(
+        ft, gx=gx, gy=gy, n_rows=n_rows, rows_tile=rows_tile,
+        anchors=anchors, stride=stride, num_classes=num_classes,
+        prob_thresh=prob_thresh, head_offset=head_offset, n_out=n_out)
     if out_rows:
         # back-transpose the small record block in-register: the record
         # emits natively as (cells, 32) and the XLA-side payload build
@@ -438,6 +450,158 @@ def decode_packed_head_pallas_noT(
     return payload, scores
 
 
+def _payload_from_cols(out, b, gy, gx, a, n_rows):
+    """(32, n_rows_pad) kernel output → (payload (B, a·g², 8), scores
+    (B, a·g²)) in anchor-major candidate order. Shared by the packed and
+    head-fused kernels."""
+    recs = out[:, :n_rows]                     # (32, B·g²)
+    # (B·g², 32) → (B, g², 4, 8) → anchor-major (B, 4, g², 8): ONE transpose
+    payload = (recs.T.reshape(b, gy * gx, 4, 8).transpose(0, 2, 1, 3)
+               .reshape(b, 4 * gy * gx, 8)[:, :a * gy * gx])
+    scores = jnp.stack([out[8 * ai + 4, :n_rows] for ai in range(a)])
+    scores = scores.reshape(a, b, gy * gx).transpose(1, 0, 2).reshape(b, -1)
+    return payload, scores
+
+
+def _decode_packed_fused_kernel(x_ref, w_ref, b_ref, o_ref, *, gx, gy,
+                                n_rows, rows_tile, anchors, stride,
+                                num_classes, prob_thresh, head_offset):
+    """Head-conv-FUSED packed decode (round 3).
+
+    Consumes the PRE-head activation tile (rows, Cin) and the head conv's
+    1×1 weights (Cin, C_pad): the head projection runs as one in-kernel MXU
+    dot with f32 accumulation, bias adds in-register, and the result feeds
+    the shared decode body already transposed — the (B, g, g, C_pad) head
+    map (745 MB/step at 608/b128 across the three heads) never exists in
+    HBM. Without fusion that map is written by the XLA conv and immediately
+    re-read by the opaque decode custom call — ~1.8 ms/step of round-trip
+    traffic no kernel tuning can remove (tools/probe_decode.py).
+    """
+    acc = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (rows, C_pad) f32
+    acc = acc + b_ref[0:1, :].astype(jnp.float32)  # head conv bias (no BN)
+    ft = acc.T                                     # channel = sublane
+    o_ref[:] = _decode_ft_records(
+        ft, gx=gx, gy=gy, n_rows=n_rows, rows_tile=rows_tile,
+        anchors=anchors, stride=stride, num_classes=num_classes,
+        prob_thresh=prob_thresh, head_offset=head_offset,
+        n_out=o_ref.shape[0])
+
+
+def fused_head_supported(cin: int, anchors) -> bool:
+    """Head-fusion eligibility: the pre-head channel count must already sit
+    on the lane boundary (no way to pad the activation without the full-map
+    copy fusion exists to avoid) and the anchor count must fit the record
+    block. True for every published yolov3 variant (Cin 256/512/1024)."""
+    return cin % LANES == 0 and len(anchors) <= MAX_ANCHORS
+
+
+def decode_packed_head_fused_pallas(
+    x: jax.Array,
+    w: jax.Array,
+    bias: jax.Array,
+    anchors: Tuple[Tuple[float, float], ...],
+    stride: int,
+    num_classes: int,
+    prob_thresh: float = 0.0,
+    head_offset: int = 0,
+    interpret: bool = False,
+):
+    """Packed decode of one head FUSED with its 1×1 head conv.
+
+    ``x``: pre-head activation (B, gy, gx, Cin), Cin % 128 == 0;
+    ``w``: head conv weights (Cin, C_pad) with C_pad lane-aligned and the
+    channels ≥ a·(5+C) zero (``model.pad_head_params`` form, reshaped);
+    ``bias``: (C_pad,). Record contract identical to
+    :func:`decode_packed_head_pallas` (same candidate order, same
+    thresholding); numerics differ from the unfused bf16 path only by the
+    head projection accumulating in f32 without an intermediate bf16
+    rounding of the head map.
+    """
+    b, gy, gx, cin = x.shape
+    a = len(anchors)
+    if not fused_head_supported(cin, anchors):
+        raise ValueError(
+            f"fused packed decode needs Cin % {LANES} == 0 and <= "
+            f"{MAX_ANCHORS} anchors/head, got Cin={cin}, {a} anchors")
+    per = 5 + num_classes
+    c_pad = w.shape[1]
+    assert w.shape[0] == cin and c_pad % LANES == 0 and c_pad >= a * per, \
+        f"head weights {w.shape} vs Cin={cin}, need lane-padded >= {a * per}"
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    n_rows = b * gy * gx
+    # VMEM-aware row tile: the x tile is double-buffered across grid steps
+    # and the dot result + its transpose are both live → budget
+    # rows · (2·Cin·itemsize + 2·C_pad·4) ≲ 13 MB (Mosaic's scoped-vmem
+    # ceiling is 16 MB; headroom for masks/temporaries)
+    per_row = 2 * cin * x.dtype.itemsize + 2 * c_pad * 4
+    cap = max(128, min(4096, int(13e6 / per_row) // 128 * 128))
+    div = _divisor_rows_tile(n_rows, cap)
+    rows_tile = div if div >= 512 else min(cap, ((n_rows + 127) // 128) * 128)
+    n_rows_pad = ((n_rows + rows_tile - 1) // rows_tile) * rows_tile
+    flat = x.reshape(n_rows, cin)
+    if n_rows_pad != n_rows:
+        # non-divisor fallback (deep heads at large Cin): the pad copies the
+        # PRE-head activation (≤ ~95 MB at b128@608 head-2) — still far
+        # cheaper than the full head map the unfused path round-trips
+        flat = jnp.pad(flat, ((0, n_rows_pad - n_rows), (0, 0)))
+
+    # bias as an (8, C_pad) sublane-aligned block, row 0 live
+    bias_blk = jnp.zeros((8, c_pad), jnp.float32).at[0].set(
+        bias.astype(jnp.float32))
+
+    kernel = partial(_decode_packed_fused_kernel, gx=gx, gy=gy,
+                     n_rows=n_rows, rows_tile=rows_tile,
+                     anchors=tuple(anchors), stride=stride,
+                     num_classes=num_classes, prob_thresh=float(prob_thresh),
+                     head_offset=int(head_offset))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((32, n_rows_pad), jnp.float32),
+        grid=(n_rows_pad // rows_tile,),
+        in_specs=[
+            pl.BlockSpec((rows_tile, cin), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, c_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((32, rows_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(flat, w.astype(x.dtype), bias_blk)
+
+    return _payload_from_cols(out, b, gy, gx, a, n_rows)
+
+
+def decode_packed_fused_pallas(
+    pre_heads: Sequence[jax.Array],
+    head_weights: Sequence[jax.Array],
+    head_biases: Sequence[jax.Array],
+    anchors_per_head,
+    strides: Sequence[int],
+    num_classes: int,
+    prob_thresh: float = 0.0,
+    interpret: bool = False,
+):
+    """Head-fused packed decode of every head → (payload (B, N, 8), scores
+    (B, N)); candidate order identical to :func:`decode_packed_pallas`."""
+    parts = []
+    off = 0
+    for x, w, bias, a, s in zip(pre_heads, head_weights, head_biases,
+                                anchors_per_head, strides):
+        parts.append(decode_packed_head_fused_pallas(
+            x, w, bias, a, s, num_classes, prob_thresh=prob_thresh,
+            head_offset=off, interpret=interpret))
+        off += len(a) * x.shape[1] * x.shape[2]
+    payload = jnp.concatenate([p[0] for p in parts], axis=1)
+    scores = jnp.concatenate([p[1] for p in parts], axis=1)
+    return payload, scores
+
+
 def decode_packed_head_pallas(
     feat: jax.Array,
     anchors: Tuple[Tuple[float, float], ...],
@@ -517,13 +681,7 @@ def decode_packed_head_pallas(
                    .reshape(b, 4 * gy * gx, 8)[:, :a * gy * gx])
         scores = payload[:, :, 4]
         return payload, scores
-    recs = out[:, :n_rows]                     # (32, B·g²)
-    # (B·g², 32) → (B, g², 4, 8) → anchor-major (B, 4, g², 8): ONE transpose
-    payload = (recs.T.reshape(b, gy * gx, 4, 8).transpose(0, 2, 1, 3)
-               .reshape(b, 4 * gy * gx, 8)[:, :a * gy * gx])
-    scores = jnp.stack([out[8 * ai + 4, :n_rows] for ai in range(a)])
-    scores = scores.reshape(a, b, gy * gx).transpose(1, 0, 2).reshape(b, -1)
-    return payload, scores
+    return _payload_from_cols(out, b, gy, gx, a, n_rows)
 
 
 def decode_packed_pallas(

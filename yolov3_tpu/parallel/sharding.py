@@ -96,7 +96,14 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
     from ..ops.pallas_decode import supported as _pallas_decode_ok
     from ..ops.preprocess import preprocess
 
-    if (decode_impl == "pallas"
+    if decode_impl == "pallas-fused":
+        from ..model import fused_heads_eligible
+
+        # head-fused decode is per-chip local exactly like the packed path;
+        # int8 keeps its own carrier-fused path
+        if act_scales is not None or not fused_heads_eligible(graph):
+            decode_impl = "pallas"
+    if (decode_impl in ("pallas", "pallas-fused")
             and not _pallas_decode_ok([n.anchors for n in graph.yolo_nodes])):
         decode_impl = "xla"  # >4 anchors/head: kernel layout cap
 
@@ -107,7 +114,7 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
         if bgr:
             frames_u8 = frames_u8[..., ::-1]
         x = preprocess(frames_u8, net_hw, mode=mode)
-        if decode_impl == "pallas":
+        if decode_impl in ("pallas", "pallas-fused"):
             # fused packed path (see inference.py): per-chip local, so it
             # shards over batch exactly like the compact path
             from ..ops.nms import batched_nms_packed
@@ -119,12 +126,14 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
                     graph, params, act_scales, x, prob_thresh=prob_thresh,
                     precision=precision or "bf16", carrier=carrier)
             else:
-                from ..model import forward_packed
+                from ..model import forward_packed, forward_packed_fused
 
-                payload, scores = forward_packed(graph, params, x,
-                                                 prob_thresh=prob_thresh,
-                                                 precision=precision,
-                                                 conv_impl=conv_impl)
+                fwd = (forward_packed_fused
+                       if decode_impl == "pallas-fused" else forward_packed)
+                payload, scores = fwd(graph, params, x,
+                                      prob_thresh=prob_thresh,
+                                      precision=precision,
+                                      conv_impl=conv_impl)
             return batched_nms_packed(payload, scores,
                                       iou_thresh=iou_thresh, top_k=top_k,
                                       impl=nms_impl, max_results=max_results)
