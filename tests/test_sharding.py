@@ -337,3 +337,34 @@ def test_detect_in_video_on_mesh(cfg_paths, tmp_path):
                    net_hw=(160, 160))
     n = detect_in_video(det, str(vid), show=False, frame_batch=1)
     assert n == 5
+
+
+def test_detector_int8_fused_decode_on_mesh(cfg_paths, tmp_path):
+    """int8-carrier + decode_impl='pallas-fused' on a mesh: per-image results
+    are bitwise identical to the same fused program on one device (batch-DP
+    never mixes images, so sharding must not perturb the fused kernel)."""
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.weights import random_raw, write_weights
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=5))
+    rng = np.random.default_rng(3)
+    calib = rng.integers(0, 256, (8, 240, 320, 3), dtype=np.uint8)
+
+    def make(mesh):
+        net = Darknet(cfg_paths["yolov3-tiny"], precision=None)
+        net.load_weights(wpath)
+        net.quantize_int8(calib, net_hw=(160, 160))
+        return Detector(net, prob_thresh=0.3, net_hw=(160, 160), mesh=mesh,
+                        decode_impl="pallas-fused")
+
+    det_m = make(make_mesh(4))
+    det_1 = make(None)
+    frames = rng.integers(0, 256, (4, 240, 320, 3), dtype=np.uint8)
+    r_m = det_m.detect_batch(frames)
+    r_1 = det_1.detect_batch(frames)
+    for a, b in zip(r_m, r_1):
+        np.testing.assert_array_equal(a.class_idx, b.class_idx)
+        np.testing.assert_allclose(a.bbox_tlbr, b.bbox_tlbr, atol=1e-3)

@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--lens", default="8,40")
     ap.add_argument("--prob-thresh", type=float, default=0.05)
+    ap.add_argument("--int8", action="store_true",
+                    help="also measure the int8-carrier fused path")
     args = ap.parse_args()
     enable_compile_cache()
     lens = tuple(int(v) for v in args.lens.split(","))
@@ -85,6 +87,37 @@ def main():
           f"{(unfused - pre) * 1e3:+.2f} ms)", flush=True)
     print(f"    -> FUSION SAVES: {(unfused - fused) * 1e3:+.2f} ms/step",
           flush=True)
+
+    if not args.int8:
+        return
+    # ---- int8 carrier path (the serving flagship) ----
+    from yolov3_tpu.quant import (calibrate_tensors,
+                                  forward_features_int8_carrier,
+                                  forward_packed_fused_int8,
+                                  forward_packed_int8, quantize_weights)
+
+    fparams = jax.tree.map(jnp.asarray, fold_raw(random_raw(g, 0)))
+    calib = [preprocess(jnp.asarray(rng.integers(
+        0, 256, (8, *net_hw, 3), dtype=np.uint8)), net_hw)]
+    scales = calibrate_tensors(g, fparams, calib, precision="bf16")
+    qparams = jax.device_put(quantize_weights(g, fparams))
+
+    pre_i = t("int8-carrier pre-head walk",
+              lambda xc: tuple(forward_features_int8_carrier(
+                  g, qparams, scales, xc, "bf16", stop_before_heads=True)))
+    unfused_i = t("int8 walk + packed pallas decode",
+                  lambda xc: forward_packed_int8(
+                      g, qparams, scales, xc, prob_thresh=args.prob_thresh,
+                      precision="bf16", carrier="int8"))
+    fused_i = t("int8 pre-walk + FUSED decode",
+                lambda xc: forward_packed_fused_int8(
+                    g, qparams, scales, xc, prob_thresh=args.prob_thresh,
+                    precision="bf16", carrier="int8"))
+    print(f"    -> int8 fused head+decode delta over pre-walk: "
+          f"{(fused_i - pre_i) * 1e3:+.2f} ms (unfused: "
+          f"{(unfused_i - pre_i) * 1e3:+.2f} ms)", flush=True)
+    print(f"    -> int8 FUSION SAVES: {(unfused_i - fused_i) * 1e3:+.2f} "
+          f"ms/step", flush=True)
 
 
 if __name__ == "__main__":

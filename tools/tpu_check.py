@@ -169,6 +169,26 @@ def check_fused_head_decode():
     assert n0 == n1 and same_cls and box_close, \
         "fused-head decode diverges on TPU"
 
+    # int8-carrier variant: same unfused-vs-fused bars on the PTQ path
+    from yolov3_tpu.quant import (calibrate_tensors,
+                                  forward_packed_fused_int8,
+                                  forward_packed_int8, quantize_weights)
+
+    scales = calibrate_tensors(g, params, [x], precision="bf16")
+    qparams = quantize_weights(g, params)
+    pq0, sq0 = jax.jit(lambda q, x: forward_packed_int8(
+        g, q, scales, x, prob_thresh=0.3, precision="bf16",
+        carrier="int8"))(qparams, x)
+    pq1, sq1 = jax.jit(lambda q, x: forward_packed_fused_int8(
+        g, q, scales, x, prob_thresh=0.3, precision="bf16",
+        carrier="int8"))(qparams, x)
+    sq0n, sq1n = np.asarray(sq0), np.asarray(sq1)
+    ok = (np.allclose(sq0n, sq1n, atol=1e-3, rtol=1e-3)
+          and np.array_equal(np.asarray(pq0)[..., 6], np.asarray(pq1)[..., 6]))
+    print(f"int8 fused-head decode compiled: {int((sq1n > 0).sum())} "
+          f"candidates, scores close: {ok}")
+    assert ok, "int8 fused-head decode diverges on TPU"
+
 
 def time_stage(fn, args, iters=5, label=""):
     out = fn(*args)

@@ -160,16 +160,18 @@ class Detector:
         nms_impl = self.nms_impl
         decode_impl = self.decode_impl
         if decode_impl == "pallas-fused":
-            # head-conv-fused decode: bf16/fp32 single-chip + batch-DP only
-            # (int8 keeps its own fused carrier path; spatial partitioning
-            # shards the head convs themselves)
+            # head-conv-fused decode: float paths + the int8-carrier path
+            # (the bf16-carrier int8 walk keeps the unfused form; spatial
+            # partitioning shards the head convs themselves)
             from .model import fused_heads_eligible
 
-            if (self.net.quantized or self.partition == "spatial"
+            q_ok = (not self.net.quantized
+                    or getattr(self.net, "qcarrier", "bf16") == "int8")
+            if (not q_ok or self.partition == "spatial"
                     or not fused_heads_eligible(graph)):
                 log.warning("head-fused decode not applicable here (%s); "
                             "falling back to decode_impl='pallas'",
-                            "int8" if self.net.quantized else
+                            "bf16-carrier int8" if not q_ok else
                             "spatial" if self.partition == "spatial"
                             else "graph shape")
                 decode_impl = "pallas"
@@ -240,12 +242,18 @@ class Detector:
                 if bgr:
                     frames_u8 = frames_u8[..., ::-1]
                 x = preprocess(frames_u8, net_hw, mode=mode)
-                if decode_impl == "pallas":
+                if decode_impl in ("pallas", "pallas-fused"):
                     # fused packed path: candidate records emitted by the
-                    # decode kernel, zero relayouts before NMS selection
-                    from .quant import forward_packed_int8
+                    # decode kernel, zero relayouts before NMS selection;
+                    # "pallas-fused" additionally runs the 1×1 head convs
+                    # inside the kernel (int8 carrier only, gated above)
+                    from .quant import (forward_packed_fused_int8,
+                                        forward_packed_int8)
 
-                    payload, scores = forward_packed_int8(
+                    fwd = (forward_packed_fused_int8
+                           if decode_impl == "pallas-fused"
+                           else forward_packed_int8)
+                    payload, scores = fwd(
                         graph, qparams, act_scales, x, prob_thresh=prob,
                         precision=precision or "bf16", carrier=carrier)
                     return batched_nms_packed(payload, scores,

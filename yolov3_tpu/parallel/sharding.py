@@ -100,8 +100,9 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
         from ..model import fused_heads_eligible
 
         # head-fused decode is per-chip local exactly like the packed path;
-        # int8 keeps its own carrier-fused path
-        if act_scales is not None or not fused_heads_eligible(graph):
+        # float paths + the int8-carrier path (bf16-carrier stays unfused)
+        if ((act_scales is not None and carrier != "int8")
+                or not fused_heads_eligible(graph)):
             decode_impl = "pallas"
     if (decode_impl in ("pallas", "pallas-fused")
             and not _pallas_decode_ok([n.anchors for n in graph.yolo_nodes])):
@@ -120,9 +121,13 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
             from ..ops.nms import batched_nms_packed
 
             if act_scales is not None:
-                from ..quant import forward_packed_int8
+                from ..quant import (forward_packed_fused_int8,
+                                     forward_packed_int8)
 
-                payload, scores = forward_packed_int8(
+                fwd_q = (forward_packed_fused_int8
+                         if decode_impl == "pallas-fused"
+                         else forward_packed_int8)
+                payload, scores = fwd_q(
                     graph, params, act_scales, x, prob_thresh=prob_thresh,
                     precision=precision or "bf16", carrier=carrier)
             else:

@@ -217,7 +217,8 @@ def _maxpool_int8(x: jax.Array, node: Node) -> jax.Array:
 def forward_features_int8_carrier(
         graph: Graph, qparams, tensor_scales: Dict[int, float], x: jax.Array,
         precision: Optional[str] = "bf16",
-        upto: Optional[int] = None) -> List[jax.Array]:
+        upto: Optional[int] = None,
+        stop_before_heads: bool = False) -> List[jax.Array]:
     """int8 graph walk with an **int8 activation carrier** (round 2).
 
     The bf16-carrier walk (:func:`forward_features_int8`) quantizes each
@@ -247,6 +248,13 @@ def forward_features_int8_carrier(
     list — used by ``tools/profile_int8.py`` to measure cumulative stage
     cost of exactly the program the full walk runs (quantization decisions
     still come from the FULL graph's consumer sets).
+
+    ``stop_before_heads``: return the PRE-head activations (carrier dtype)
+    instead — the 1×1 head convs are skipped; their projection runs inside
+    the fused Pallas decode kernel (:func:`forward_packed_fused_int8`).
+    Callers gate on ``model.fused_heads_eligible``. Quantization decisions
+    (q_friendly/want_q) still come from the full graph, so the shared
+    prefix is the exact program the full walk runs.
     """
     prec = _PRECISIONS[precision]
     needed = graph.needed_outputs
@@ -286,6 +294,8 @@ def forward_features_int8_carrier(
         return bool(cs) and all(q_friendly[c.index] for c in cs)
 
     # values: ("q", int8 array, scale) or ("f", carrier array)
+    head_convs = ({yn.inputs[0] for yn in graph.yolo_nodes}
+                  if stop_before_heads else frozenset())
     cache: Dict[int, tuple] = {}
     heads: List[jax.Array] = []
     prev: tuple = ("f", x.astype(carrier_dtype))
@@ -296,7 +306,13 @@ def forward_features_int8_carrier(
         return (v[1].astype(jnp.float32) * v[2]).astype(carrier_dtype)
 
     for node in (graph.nodes if upto is None else graph.nodes[:upto]):
-        if node.kind == "convolutional":
+        if node.index in head_convs:
+            # head branch ends here: the skipped conv's only consumer is
+            # its yolo node (fused_heads_eligible gate), so the
+            # pass-through output is never consumed
+            heads.append(as_f(prev))
+            out = prev
+        elif node.kind == "convolutional":
             qp = qparams[node.index]
             if "wq" in qp:
                 if node.inputs[0] < 0:
@@ -364,7 +380,8 @@ def forward_features_int8_carrier(
                 out = ("f", jnp.concatenate([as_f(v) for v in srcs],
                                             axis=-1))
         elif node.kind == "yolo":
-            heads.append(as_f(prev))
+            if not stop_before_heads:
+                heads.append(as_f(prev))
             out = prev
         if node.index in needed:
             cache[node.index] = out
@@ -481,6 +498,46 @@ def forward_packed_int8(graph: Graph, qparams, scales, x, prob_thresh: float,
     return decode_packed_pallas(
         heads, [n.anchors for n in yolo_nodes], list(graph.head_strides()),
         yolo_nodes[0].classes, prob_thresh=prob_thresh)
+
+
+def forward_packed_fused_int8(graph: Graph, qparams, scales, x,
+                              prob_thresh: float,
+                              precision: Optional[str] = "bf16",
+                              carrier: str = "int8"):
+    """``forward_packed_int8`` with the 1×1 head convs FUSED into the
+    decode kernel (``ops.pallas_decode.decode_packed_head_fused_pallas``):
+    the int8-carrier walk stops at each pre-head activation (dequantized
+    to the carrier dtype — its q/f form is fixed by the full graph's
+    consumer sets, so the shared prefix is the exact program the unfused
+    walk runs) and the head projection runs as an in-kernel MXU dot — the
+    (B, g, g, C_pad) head maps never round-trip HBM. Quantized head
+    weights (``include_heads``) are dequantized at trace time (≤1 MB of
+    weights); the projection itself then accumulates in f32. Callers gate
+    on ``model.fused_heads_eligible``; int8-carrier only (``carrier="bf16"``
+    falls back to :func:`forward_packed_int8`)."""
+    from .model import pad_head_params
+    from .ops.pallas_decode import decode_packed_fused_pallas
+
+    if carrier != "int8":
+        return forward_packed_int8(graph, qparams, scales, x, prob_thresh,
+                                   precision=precision, carrier=carrier)
+    qparams = pad_head_params(graph, qparams)
+    pre = forward_features_int8_carrier(graph, qparams, scales, x,
+                                        precision, stop_before_heads=True)
+    yolo_nodes = graph.yolo_nodes
+    ws, bs = [], []
+    for yn in yolo_nodes:
+        p = qparams[yn.inputs[0]]
+        if "wq" in p:  # --int8-heads: fold the per-channel scale back in
+            w = p["wq"].astype(jnp.float32) * p["sw"]
+        else:
+            w = p["w"]
+        ws.append(w.reshape(w.shape[2], w.shape[3]))
+        bs.append(p["b"])
+    return decode_packed_fused_pallas(
+        pre, ws, bs, [n.anchors for n in yolo_nodes],
+        list(graph.head_strides()), yolo_nodes[0].classes,
+        prob_thresh=prob_thresh)
 
 
 def calibrate(graph: Graph, params, batches, precision: Optional[str] = "bf16",
