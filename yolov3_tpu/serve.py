@@ -356,6 +356,10 @@ def main(argv=None):
                          "concurrent requests coalesce into device batches")
     ap.add_argument("--max-batch", type=int, default=16,
                     help="micro-batch size cap (with --batch-window)")
+    ap.add_argument("--decode-impl",
+                    choices=("xla", "pallas", "pallas-fused"),
+                    default="pallas",
+                    help="head decode backend (see yolov3_tpu --help)")
     args = ap.parse_args(argv)
 
     from pathlib import Path
@@ -369,7 +373,8 @@ def main(argv=None):
     net.load_weights(args.weights)
     net_hw = (args.net_size, args.net_size) if args.net_size else None
     detector = Detector(net, prob_thresh=args.prob_thresh,
-                        iou_thresh=args.iou_thresh, net_hw=net_hw)
+                        iou_thresh=args.iou_thresh, net_hw=net_hw,
+                        decode_impl=args.decode_impl)
     names = (load_class_names(args.class_names)
              if Path(args.class_names).exists() else None)
     warmup = (None if args.warmup_hw == "none"
