@@ -293,19 +293,28 @@ def test_pairmax_select_matches_topk_select():
         classes = rng.integers(0, 80, (b, n), dtype=np.int32)
         cases.append((boxes, masked, classes, min(k, n)))
 
+    select = jax.jit(_select_pairmax, static_argnames=("k", "group"))
     for boxes, masked, classes, k in cases:
         args = (jnp.asarray(boxes), jnp.asarray(masked), jnp.asarray(classes))
         ref = topk_reference(*args, k)
-        out = jax.jit(_select_pairmax, static_argnames="k")(*args, k=k)
-        # selection set + order must match exactly; box/class payloads of
-        # INVALID (zero-score padding) slots are unspecified in both impls
-        valid = np.asarray(ref[3])
-        np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
-        np.testing.assert_array_equal(np.asarray(out[3]), valid)
-        np.testing.assert_array_equal(np.asarray(out[0])[valid],
-                                      np.asarray(ref[0])[valid])
-        np.testing.assert_array_equal(np.asarray(out[2])[valid],
-                                      np.asarray(ref[2])[valid])
+        # group-max exactness holds for ANY group width (incl. odd widths
+        # that force padding); 2 is the shipping default
+        for group in (2, 3, 4, 8):
+            out = select(*args, k=k, group=group)
+            # selection set + order must match exactly; box/class payloads
+            # of INVALID (zero-score padding) slots are unspecified in both
+            valid = np.asarray(ref[3])
+            ctx = f"group={group} k={k}"
+            np.testing.assert_array_equal(np.asarray(out[1]),
+                                          np.asarray(ref[1]), err_msg=ctx)
+            np.testing.assert_array_equal(np.asarray(out[3]), valid,
+                                          err_msg=ctx)
+            np.testing.assert_array_equal(np.asarray(out[0])[valid],
+                                          np.asarray(ref[0])[valid],
+                                          err_msg=ctx)
+            np.testing.assert_array_equal(np.asarray(out[2])[valid],
+                                          np.asarray(ref[2])[valid],
+                                          err_msg=ctx)
 
 
 def test_nms_compact_pairmax_equals_topk_end_to_end():
@@ -392,13 +401,14 @@ def test_pairmax_fuzz_many_shapes():
     from yolov3_tpu.ops.nms import _select_pairmax
 
     rng = np.random.default_rng(97)
-    select = jax.jit(_select_pairmax, static_argnames="k")
+    select = jax.jit(_select_pairmax, static_argnames=("k", "group"))
     for trial in range(25):
         n = int(rng.integers(2, 4000))
         b = int(rng.integers(1, 4))
         k = min(int(rng.integers(1, 600)), n)
         density = float(rng.uniform(0, 1))
         quant = rng.uniform() < 0.5
+        group = int(rng.choice([2, 2, 3, 4, 8]))
         raw = rng.uniform(0.05, 1.0, (b, n)).astype(np.float32)
         if quant:
             raw = (np.round(raw * 4) / 4).astype(np.float32)  # massive ties
@@ -412,9 +422,10 @@ def test_pairmax_fuzz_many_shapes():
                                         ti[..., None], axis=1)
         ref_classes = jnp.take_along_axis(jnp.asarray(classes), ti, axis=1)
         out = select(jnp.asarray(boxes), jnp.asarray(masked),
-                     jnp.asarray(classes), k=k)
+                     jnp.asarray(classes), k=k, group=group)
         valid = np.asarray(ts) > 0
-        ctx = f"trial={trial} n={n} b={b} k={k} density={density:.2f}"
+        ctx = (f"trial={trial} n={n} b={b} k={k} density={density:.2f} "
+               f"group={group}")
         np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ts),
                                       err_msg=ctx)
         np.testing.assert_array_equal(np.asarray(out[3]), valid, err_msg=ctx)

@@ -201,27 +201,33 @@ def _candidates(det: jax.Array, prob_thresh: float, top_k: int):
 
 
 def _select_pairmax(boxes: jax.Array, masked: jax.Array, classes: jax.Array,
-                    k: int):
-    """Exact top-k candidate selection via pair-max reduction (serving path).
+                    k: int, group: int = 2):
+    """Exact top-k candidate selection via group-max reduction (serving
+    path).
 
     Replaces ``lax.top_k(masked, k)`` + two big gathers, which measure
     ~3.1 ms at (B=128, N=22743, K=512) on v5e — lax.top_k scales with N·k
     and every take_along_axis from an (B, N, ·) operand costs ~0.7 ms
     regardless of payload width (tools/bench_topk*.py). Three steps:
 
-    1. pair-max: reduce scores to N/2 pair maxima (one cheap VPU pass);
-    2. ``lax.top_k`` over the pair maxima (half-size input, int32 bitcast
+    1. group-max: reduce scores to N/G group maxima (one cheap VPU pass);
+    2. ``lax.top_k`` over the group maxima (N/G-size input, int32 bitcast
        keys — monotone for non-negative floats and ~20% faster than f32),
-       then ONE packed gather of both elements of each selected pair;
-    3. small 2-key stable sort of the 2k surviving candidates by
+       then ONE packed gather of all G elements of each selected group;
+    3. small 2-key stable sort of the G·k surviving candidates by
        (score desc, original index asc) — exactly lax.top_k's order.
 
-    Exactness (incl. ties): an element e belongs to the top-k by
-    (score desc, index asc) ⇒ fewer than k elements precede it ⇒ fewer
-    than k pairs have (max, pair-index) preceding e's pair (each such pair
-    contains a preceding element) ⇒ e's pair is in the pair-top-k, so e
-    survives step 2 and step 3 places it exactly. Tested against
-    lax.top_k bit-for-bit, tie-heavy cases included (tests/test_nms.py).
+    Exactness (incl. ties), for ANY group size G: an element e belongs to
+    the top-k by (score desc, index asc) ⇒ fewer than k elements precede
+    it ⇒ fewer than k groups have (max, group-index) preceding e's group
+    (each such group contains a preceding element) ⇒ e's group is in the
+    group-top-k, so e survives step 2 and step 3 places it exactly.
+    Tested against lax.top_k bit-for-bit at G ∈ {2, 4, 8}, tie-heavy
+    cases included (tests/test_nms.py).
+
+    ``group`` trades the dominant ``top_k`` term (∝ N/G · k) against the
+    final sort size (G·k): G=2 is the round-2 measured default; larger G
+    shrinks top_k further once the sort is the cheaper side.
     """
     b, n = masked.shape
     if n >= 2 ** 24:
@@ -238,11 +244,12 @@ def _select_pairmax(boxes: jax.Array, masked: jax.Array, classes: jax.Array,
     payload = jnp.concatenate(
         [boxes, masked[..., None], classes.astype(jnp.float32)[..., None],
          iota[..., None], jnp.zeros((b, n, 1), jnp.float32)], axis=-1)
-    return _select_pairmax_payload(payload, masked, k)
+    return _select_pairmax_payload(payload, masked, k, group=group)
 
 
-def _select_pairmax_payload(payload: jax.Array, masked: jax.Array, k: int):
-    """Pair-max selection over a prebuilt candidate payload (B, N, 8) with
+def _select_pairmax_payload(payload: jax.Array, masked: jax.Array, k: int,
+                            group: int = 2):
+    """Group-max selection over a prebuilt candidate payload (B, N, 8) with
     lanes [x0, y0, x1, y1, thresholded score, class, candidate index, –].
 
     CONTRACT: lane 4 must equal ``masked`` (score already thresholded —
@@ -256,17 +263,18 @@ def _select_pairmax_payload(payload: jax.Array, masked: jax.Array, k: int):
     assert n < 2 ** 24, (
         f"pair-max payload selection requires N < 2^24 for exact f32 "
         f"indices; got N={n}")
-    np2 = (n + 1) // 2 * 2
-    if np2 != n:
-        payload = jnp.pad(payload, ((0, 0), (0, np2 - n), (0, 0)))
-        masked = jnp.pad(masked, ((0, 0), (0, np2 - n)))
+    assert group >= 2
+    npg = -(-n // group) * group
+    if npg != n:
+        payload = jnp.pad(payload, ((0, 0), (0, npg - n), (0, 0)))
+        masked = jnp.pad(masked, ((0, 0), (0, npg - n)))
 
-    kp = min(k, np2 // 2)
-    pmax = jnp.max(masked.reshape(b, np2 // 2, 2), axis=2)
+    kp = min(k, npg // group)
+    pmax = jnp.max(masked.reshape(b, npg // group, group), axis=2)
     _, pair_i = lax.top_k(lax.bitcast_convert_type(pmax, jnp.int32), kp)
-    pairs = jnp.take_along_axis(payload.reshape(b, np2 // 2, 16),
+    pairs = jnp.take_along_axis(payload.reshape(b, npg // group, 8 * group),
                                 pair_i[..., None], axis=1)
-    cand = pairs.reshape(b, 2 * kp, 8)
+    cand = pairs.reshape(b, group * kp, 8)
 
     key = -lax.bitcast_convert_type(cand[:, :, 4], jnp.int32)
     srt = lax.sort((key, cand[:, :, 6], cand[:, :, 0], cand[:, :, 1],
@@ -346,13 +354,14 @@ def batched_nms(detections: jax.Array, prob_thresh: float = 0.05,
 
 @partial(jax.jit, static_argnames=("prob_thresh", "iou_thresh", "top_k",
                                    "impl", "interpret", "max_results",
-                                   "select_impl"))
+                                   "select_impl", "select_group"))
 def batched_nms_compact(boxes: jax.Array, scores: jax.Array,
                         classes: jax.Array, prob_thresh: float = 0.05,
                         iou_thresh: float = 0.3, top_k: int = 512,
                         impl: str = "xla", interpret: bool = False,
                         max_results: int = 0,
-                        select_impl: str = "pairmax") -> NMSResult:
+                        select_impl: str = "pairmax",
+                        select_group: int = 2) -> NMSResult:
     """NMS over compact-decode outputs (serving path): tlbr boxes (B, N, 4),
     scores (B, N), classes (B, N) — score/class reduction already fused into
     decode, so this is just threshold → top-k gather → greedy suppression.
@@ -361,12 +370,14 @@ def batched_nms_compact(boxes: jax.Array, scores: jax.Array,
     ``select_impl``: "pairmax" (default — exact pair-max selection,
     ~1.6× faster at serving shapes, see :func:`_select_pairmax`) or "topk"
     (the direct lax.top_k + gathers formulation; bit-identical results).
+    ``select_group``: group-max reduction width (see :func:`_select_pairmax`;
+    bit-identical results for any value).
     """
     masked = jnp.where(scores >= prob_thresh, scores, 0.0)
     k = min(top_k, scores.shape[1])
     if select_impl == "pairmax":
         top_boxes, top_scores, top_classes, valid = _select_pairmax(
-            boxes, masked, classes, k)
+            boxes, masked, classes, k, group=select_group)
     elif select_impl == "topk":
         top_scores, top_i = lax.top_k(masked, k)  # batched over leading dim
         valid = top_scores > 0.0
@@ -382,21 +393,25 @@ def batched_nms_compact(boxes: jax.Array, scores: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("iou_thresh", "top_k", "impl",
-                                   "interpret", "max_results"))
+                                   "interpret", "max_results",
+                                   "select_group"))
 def batched_nms_packed(payload: jax.Array, scores: jax.Array,
                        iou_thresh: float = 0.3, top_k: int = 512,
                        impl: str = "xla", interpret: bool = False,
-                       max_results: int = 0) -> NMSResult:
+                       max_results: int = 0,
+                       select_group: int = 2) -> NMSResult:
     """NMS over the fused packed decode output (serving fast path):
     ``payload`` (B, N, 8) candidate records and ``scores`` (B, N) from
     ``ops.pallas_decode.decode_packed_pallas`` — **already thresholded
     in-kernel** (pass the serving ``prob_thresh`` to the decode; this
     function applies none). Results are identical to
     :func:`batched_nms_compact` at the same threshold; the payload's
-    in-kernel candidate-index lane replaces the iota/concat build."""
+    in-kernel candidate-index lane replaces the iota/concat build.
+    ``select_group``: group-max reduction width (bit-identical results for
+    any value; see :func:`_select_pairmax`)."""
     k = min(top_k, scores.shape[1])
     top_boxes, top_scores, top_classes, valid = _select_pairmax_payload(
-        payload, scores, k)
+        payload, scores, k, group=select_group)
     res = _suppress_batch(top_boxes, top_scores, top_classes, valid,
                           iou_thresh, impl, interpret)
     if max_results and max_results < k:
