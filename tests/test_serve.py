@@ -195,3 +195,43 @@ def test_multi_shape_warmup(tmp_path_factory, cfg_paths):
     n = len(det._pipelines)
     assert n >= 1  # host-preprocessed warmups share the net-shape pipeline
     srv.server_close()
+
+
+def test_serve_on_mesh(tmp_path, cfg_paths):
+    """serve with a batch-DP mesh Detector (--devices N): single-image
+    requests pad to the mesh and round-trip identically to 1-device."""
+    import cv2
+
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.parallel.sharding import make_mesh
+    from yolov3_tpu.serve import serve
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=30))
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(wpath)
+    det = Detector(net, prob_thresh=0.3, net_hw=(160, 160),
+                   mesh=make_mesh(4))
+
+    srv = serve(det, class_names=["c%d" % i for i in range(80)],
+                host="127.0.0.1", port=0, warmup_hw=(240, 320))
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
+        ok, buf = cv2.imencode(".jpg", img)
+        assert ok
+        status, body = _post(url + "/detect", buf.tobytes())
+        assert status == 200
+        assert "detections" in body
+        # same request against a 1-device Detector: identical answers
+        net1 = Darknet(cfg_paths["yolov3-tiny"]).load_weights(wpath)
+        det1 = Detector(net1, prob_thresh=0.3, net_hw=(160, 160))
+        decoded = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+        r1 = det1.detect_batch(decoded[None])[0]
+        assert len(body["detections"]) == len(r1.class_prob)
+    finally:
+        srv.shutdown()

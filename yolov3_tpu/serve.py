@@ -360,6 +360,11 @@ def main(argv=None):
                     choices=("xla", "pallas", "pallas-fused"),
                     default="pallas",
                     help="head decode backend (see yolov3_tpu --help)")
+    ap.add_argument("--devices", type=int, default=1, metavar="N",
+                    help="shard each request batch over N chips (batch-DP "
+                         "mesh, parallel/sharding.py; pair with "
+                         "--batch-window so requests coalesce into "
+                         "mesh-wide batches)")
     args = ap.parse_args(argv)
 
     from pathlib import Path
@@ -372,9 +377,14 @@ def main(argv=None):
     net = Darknet(args.config, precision=precision)
     net.load_weights(args.weights)
     net_hw = (args.net_size, args.net_size) if args.net_size else None
+    mesh = None
+    if args.devices > 1:
+        from .parallel.sharding import make_mesh
+
+        mesh = make_mesh(args.devices)
     detector = Detector(net, prob_thresh=args.prob_thresh,
                         iou_thresh=args.iou_thresh, net_hw=net_hw,
-                        decode_impl=args.decode_impl)
+                        decode_impl=args.decode_impl, mesh=mesh)
     names = (load_class_names(args.class_names)
              if Path(args.class_names).exists() else None)
     warmup = (None if args.warmup_hw == "none"
