@@ -48,7 +48,7 @@ def _scanned(run, scan):
 
 
 def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
-                precision=None, scan=1, fused_heads=False):
+                precision=None, scan=1, fused_heads=False, select_group=2):
     import jax
     import jax.numpy as jnp
 
@@ -67,7 +67,7 @@ def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
         payload, scores = fwd(graph, params, x,
                               prob_thresh=prob_thresh,
                               precision=precision)
-        res = batched_nms_packed(payload, scores)
+        res = batched_nms_packed(payload, scores, select_group=select_group)
         # reduce to scalars ON DEVICE: fetching full NMS buffers through this
         # environment's TPU relay runs at ~150 KB/s (a tunnel artifact, not
         # chip D2H) and would swamp the measurement; completion of these
@@ -104,7 +104,7 @@ def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
 
 def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
                      quantize_heads=False, quantize_stem=False, scan=1,
-                     fused_heads=False):
+                     fused_heads=False, select_group=2):
     """int8 PTQ path (calibrated on random frames — throughput-only here;
     accuracy calibration uses real images via Darknet.quantize_int8).
     ``quantize_heads`` also int8s the no-BN head projections (round 3;
@@ -140,7 +140,7 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
         payload, scores = fwd_q(
             graph, qparams, scales, x, prob_thresh=prob_thresh,
             precision="bf16", carrier="int8")
-        res = batched_nms_packed(payload, scores)
+        res = batched_nms_packed(payload, scores, select_group=select_group)
         return jnp.sum(res.scores), jnp.sum(res.valid)
 
     run = _scanned(run, scan)
@@ -314,6 +314,11 @@ def main():
                     help="run the 1x1 head convs inside the Pallas decode "
                          "kernel (decode_impl='pallas-fused'; the head maps "
                          "never round-trip HBM)")
+    ap.add_argument("--select-group", type=int, default=2,
+                    help="group-max selection width G (ops/nms.py: exact "
+                         "top-k for any G; trades the lax.top_k term N/G*k "
+                         "against the final G*k sort — see "
+                         "tools/bench_select_group.py for the crossover)")
     ap.add_argument("--precision", choices=("default", "highest", "bf16",
                                             "int8"),
                     default="bf16",
@@ -391,9 +396,11 @@ def main():
             return measure_tpu_int8(graph, prms, frames, iters,
                                     quantize_heads=args.int8_heads,
                                     quantize_stem=args.int8_stem,
-                                    scan=scan, fused_heads=args.fused_heads)
+                                    scan=scan, fused_heads=args.fused_heads,
+                                    select_group=args.select_group)
         return measure_tpu(graph, prms, frames, iters, precision=prec,
-                           scan=scan, fused_heads=args.fused_heads)
+                           scan=scan, fused_heads=args.fused_heads,
+                           select_group=args.select_group)
 
     # BASELINE.json's tracked metric names BOTH @608 and @416 — default run
     # measures both; --size pins one. The headline row is the first size.

@@ -467,3 +467,35 @@ def test_blocked_fused_equals_blocked():
             iou_matrix(boxes), classes[:, None] == classes[None, :],
             valid, 0.3))
         np.testing.assert_array_equal(scalar, out)
+
+
+def test_detector_select_group_plumbing_bit_identical(cfg_paths):
+    """Detector(select_group=G) produces BIT-identical detections for any G
+    (the group-max selection proof in ops/nms.py::_select_pairmax holds for
+    every width; this pins the end-to-end plumbing through Detector)."""
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.weights import fold_raw, random_raw
+    from yolov3_tpu.graph import load_graph
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    params = fold_raw(random_raw(g, seed=11))
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, (2, 200, 320, 3), dtype=np.uint8)
+    results = []
+    for grp in (2, 8):
+        net = Darknet(cfg_paths["yolov3-tiny"],
+                      precision="highest").set_params(params)
+        det = Detector(net, prob_thresh=0.2, net_hw=(128, 128),
+                       select_group=grp)
+        results.append(det.detect_batch(frames))
+    for a, b in zip(*results):
+        np.testing.assert_array_equal(a.class_prob, b.class_prob)
+        np.testing.assert_array_equal(a.class_idx, b.class_idx)
+        np.testing.assert_array_equal(a.bbox_tlbr, b.bbox_tlbr)
+
+    import pytest
+    with pytest.raises(ValueError):
+        Detector(Darknet(cfg_paths["yolov3-tiny"],
+                         precision="highest").set_params(params),
+                 select_group=1)

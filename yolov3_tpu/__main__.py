@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "kernel, the measured-fastest serving default; "
                         "pallas-fused additionally runs the 1x1 head convs "
                         "inside the kernel)")
+    p.add_argument("--select-group", type=int, default=2,
+                   help="group-max selection width G (exact top-k for any "
+                        "G; trades the lax.top_k term against the final "
+                        "G*k sort — tools/bench_select_group.py)")
     p.add_argument("--spatial", type=int, default=None, metavar="N",
                    help="shard EACH image's rows over N chips (latency "
                         "mode: halo-exchange convs + channel-pair tail, "
@@ -202,7 +206,8 @@ def main(argv=None) -> int:
                         net_hw=net_hw, nms_impl=args.nms_impl,
                         decode_impl=args.decode_impl,
                         max_results=args.max_results, scan=args.scan,
-                        mesh=mesh, partition=partition)
+                        mesh=mesh, partition=partition,
+                        select_group=args.select_group)
     class_names = (load_class_names(args.class_names)
                    if Path(args.class_names).exists() else None)
 

@@ -59,7 +59,7 @@ class Detector:
                  net_hw: Optional[Tuple[int, int]] = None, mesh=None,
                  nms_impl: str = "xla", decode_impl: str = "pallas",
                  max_results: int = 128, scan: int = 1,
-                 partition: str = "data"):
+                 partition: str = "data", select_group: int = 2):
         self.net = net
         self.prob_thresh = float(prob_thresh)
         self.iou_thresh = float(iou_thresh)
@@ -74,6 +74,13 @@ class Detector:
         # post-NMS output compaction: K=512 slots of NMS working set shrink
         # to the top max_results survivors before leaving the device
         self.max_results = int(max_results)
+        # group-max selection width (ops/nms.py::_select_pairmax): results
+        # are bit-identical for any G >= 2; G trades the dominant lax.top_k
+        # term (∝ N/G·k) against the final G·k sort —
+        # tools/bench_select_group.py finds the measured crossover
+        self.select_group = int(select_group)
+        if self.select_group < 2:
+            raise ValueError(f"select_group must be >= 2, got {select_group}")
         # scan > 1 fuses that many pipeline steps into ONE dispatched
         # lax.scan program: launch overhead amortizes scan× — decisive for
         # models whose device step is faster than the dispatch interval
@@ -158,6 +165,7 @@ class Detector:
         precision = self.net.precision
         conv_impl = self.net.conv_impl
         nms_impl = self.nms_impl
+        select_group = self.select_group
         decode_impl = self.decode_impl
         if decode_impl == "pallas-fused":
             # head-conv-fused decode: float paths + the int8-carrier path
@@ -196,7 +204,8 @@ class Detector:
                                    precision=precision, bgr=bgr,
                                    nms_impl=nms_impl,
                                    decode_impl=decode_impl,
-                                   max_results=max_results)
+                                   max_results=max_results,
+                                   select_group=select_group)
             return self._finalize(key, run)
 
         if self.mesh is not None:
@@ -213,7 +222,8 @@ class Detector:
                                          nms_impl=nms_impl,
                                          decode_impl=decode_impl,
                                          max_results=max_results,
-                                         scan=self.scan)
+                                         scan=self.scan,
+                                         select_group=select_group)
                 qparams = self.net.qparams
                 run = lambda params, frames: run_q(qparams, frames)  # noqa: E731
             else:
@@ -225,7 +235,8 @@ class Detector:
                                        nms_impl=nms_impl,
                                        decode_impl=decode_impl,
                                        max_results=max_results,
-                                       scan=self.scan)
+                                       scan=self.scan,
+                                       select_group=select_group)
             # the scan (if any) runs INSIDE the sharded program; results
             # come back (scan, B, ...) and _unpack merges them host-side
             self._cache_pipeline(key, run)
@@ -259,7 +270,8 @@ class Detector:
                     return batched_nms_packed(payload, scores,
                                               iou_thresh=iou, top_k=top_k,
                                               impl=nms_impl,
-                                              max_results=max_results)
+                                              max_results=max_results,
+                                              select_group=select_group)
                 boxes, scores, classes = forward_compact_int8(
                     graph, qparams, act_scales, x,
                     precision=precision or "bf16", decode_impl=decode_impl,
@@ -267,7 +279,8 @@ class Detector:
                 return batched_nms_compact(boxes, scores, classes,
                                            prob_thresh=prob, iou_thresh=iou,
                                            top_k=top_k, impl=nms_impl,
-                                           max_results=max_results)
+                                           max_results=max_results,
+                                           select_group=select_group)
 
             run = lambda params, frames: run_q(qparams, frames)  # noqa: E731
             return self._finalize(key, run)
@@ -294,7 +307,8 @@ class Detector:
                                       conv_impl=conv_impl)
                 return batched_nms_packed(payload, scores, iou_thresh=iou,
                                           top_k=top_k, impl=nms_impl,
-                                          max_results=max_results)
+                                          max_results=max_results,
+                                          select_group=select_group)
             # compact path: decode + score/class reduction fuse with the
             # heads; the (B, N, 5+C) tensor never reaches HBM
             boxes, scores, classes = forward_compact(graph, params, x,
@@ -304,7 +318,8 @@ class Detector:
             return batched_nms_compact(boxes, scores, classes,
                                        prob_thresh=prob, iou_thresh=iou,
                                        top_k=top_k, impl=nms_impl,
-                                       max_results=max_results)
+                                       max_results=max_results,
+                                       select_group=select_group)
 
         return self._finalize(key, run)
 

@@ -74,7 +74,8 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
                      act_scales=None, carrier: str = "bf16",
                      conv_impl: str = "xla",
                      nms_impl: str = "xla", decode_impl: str = "pallas",
-                     max_results: int = 0, scan: int = 1):
+                     max_results: int = 0, scan: int = 1,
+                     select_group: int = 2):
     """Build the batch-DP end-to-end detect step, jitted over ``mesh``.
 
     Returns ``run(params, frames_u8)``: uint8 (B, H, W, 3) sharded on batch →
@@ -141,7 +142,8 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
                                       conv_impl=conv_impl)
             return batched_nms_packed(payload, scores,
                                       iou_thresh=iou_thresh, top_k=top_k,
-                                      impl=nms_impl, max_results=max_results)
+                                      impl=nms_impl, max_results=max_results,
+                                      select_group=select_group)
         if act_scales is not None:
             from ..quant import forward_compact_int8
 
@@ -156,7 +158,8 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
         return batched_nms_compact(boxes, scores, classes,
                                    prob_thresh=prob_thresh,
                                    iou_thresh=iou_thresh, top_k=top_k,
-                                   impl=nms_impl, max_results=max_results)
+                                   impl=nms_impl, max_results=max_results,
+                                   select_group=select_group)
 
     # shard_map, not bare GSPMD propagation: the serving fast path embeds
     # Pallas kernels (decode) that lower to custom calls with no SPMD

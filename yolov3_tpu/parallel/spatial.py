@@ -422,7 +422,8 @@ def spatial_pipeline(graph: Graph, mesh: Mesh, net_hw: Tuple[int, int],
                      top_k: int = 512, mode: str = "letterbox",
                      precision: Optional[str] = None, bgr: bool = True,
                      nms_impl: str = "xla", decode_impl: str = "pallas",
-                     max_results: int = 0, tail: str = "channel"):
+                     max_results: int = 0, tail: str = "channel",
+                     select_group: int = 2):
     """Build the row-sharded end-to-end detect step, jitted over ``mesh``.
 
     Returns ``run(params, frames_u8)``: uint8 (B, H, W, 3), replicated →
@@ -481,7 +482,8 @@ def spatial_pipeline(graph: Graph, mesh: Mesh, net_hw: Tuple[int, int],
         return batched_nms_compact(boxes, scores, classes,
                                    prob_thresh=prob_thresh,
                                    iou_thresh=iou_thresh, top_k=top_k,
-                                   impl=nms_impl, max_results=max_results)
+                                   impl=nms_impl, max_results=max_results,
+                                   select_group=select_group)
 
     mapped = shard_map(
         step, mesh=mesh,

@@ -360,6 +360,9 @@ def main(argv=None):
                     choices=("xla", "pallas", "pallas-fused"),
                     default="pallas",
                     help="head decode backend (see yolov3_tpu --help)")
+    ap.add_argument("--select-group", type=int, default=2,
+                    help="group-max selection width G (see yolov3_tpu "
+                         "--help)")
     ap.add_argument("--devices", type=int, default=1, metavar="N",
                     help="shard each request batch over N chips (batch-DP "
                          "mesh, parallel/sharding.py; pair with "
@@ -384,7 +387,8 @@ def main(argv=None):
         mesh = make_mesh(args.devices)
     detector = Detector(net, prob_thresh=args.prob_thresh,
                         iou_thresh=args.iou_thresh, net_hw=net_hw,
-                        decode_impl=args.decode_impl, mesh=mesh)
+                        decode_impl=args.decode_impl, mesh=mesh,
+                        select_group=args.select_group)
     names = (load_class_names(args.class_names)
              if Path(args.class_names).exists() else None)
     warmup = (None if args.warmup_hw == "none"
