@@ -407,6 +407,28 @@ def main():
     sizes = [args.size] if args.size else [608, 416]
     torch_iters = 1 if args.quick else max(5, args.iters // 2)
 
+    # provenance: rows must record the knobs that shaped them (CLAUDE.md —
+    # perf claims come from measured runs with the configuration stated).
+    # --fused-heads silently falls back when the cfg is ineligible; say so.
+    fused_active = False
+    if args.fused_heads:
+        from yolov3_tpu.model import fused_heads_eligible
+
+        fused_active = fused_heads_eligible(graph)
+        if not fused_active:
+            import sys
+
+            print(f"warning: --fused-heads requested but {graph.name} is "
+                  f"not eligible (see model.fused_heads_eligible); rows "
+                  f"measure the UNFUSED path", file=sys.stderr)
+
+    def knob_fields(row):
+        if args.fused_heads:
+            row["fused_heads"] = fused_active
+        if args.select_group != 2:
+            row["select_group"] = args.select_group
+        return row
+
     rows = {}
     headline = None
     for size in sizes:
@@ -420,14 +442,14 @@ def main():
         base = torch_baseline(graph, raw, size, batch=min(args.batch, 4),
                               iters=torch_iters,
                               remeasure=args.remeasure_baseline)
-        row = {
+        row = knob_fields({
             "img_s": round(tpu_ips, 2),
             "blocks": [round(b, 2) for b in blocks],
             "scan": scan_for(size),
             "vs_baseline": round(tpu_ips / base["img_s"], 2),
             "baseline_img_s": round(base["img_s"], 4),
             "baseline_std": round(base["std"], 4),
-        }
+        })
         rows[f"{graph.name}@{size} batch{args.batch} {args.precision}"] = row
         if headline is None:
             headline = (size, tpu_ips, base["img_s"])
@@ -438,12 +460,12 @@ def main():
             ips, blocks = measure_at(size, "int8", params)
             base = torch_baseline(graph, raw, size, batch=min(args.batch, 4),
                                   iters=torch_iters)
-            rows[f"{graph.name}@{size} batch{args.batch} int8"] = {
+            rows[f"{graph.name}@{size} batch{args.batch} int8"] = knob_fields({
                 "img_s": round(ips, 2),
                 "blocks": [round(b, 2) for b in blocks],
                 "scan": scan_for(size),
                 "vs_baseline": round(ips / base["img_s"], 2),
-            }
+            })
 
     size, tpu_ips, torch_ips = headline
     print(json.dumps({

@@ -134,10 +134,39 @@ def check_packed_decode():
     assert ok, "packed decode path diverges on TPU"
 
 
+def _packed_paths_close(p0, s0, p1, s1, prob_thresh, score_atol,
+                        straddle_eps=2e-3, box_atol=5e-3):
+    """Position-aligned comparison of two packed-decode outputs that differ
+    only in accumulation order (XLA head conv vs in-kernel MXU dot).
+
+    Exact survivor-count equality is the WRONG gate here: a candidate whose
+    score sits within float noise of the serving threshold legitimately
+    flips between the two paths (the kernel zeroes lane 4 in-kernel), and
+    random-weight logits are tie-heavy. Instead: every score must agree
+    within ``score_atol`` EXCEPT threshold straddlers (one side zeroed, the
+    other within ``straddle_eps`` of the threshold); the candidate-index
+    lane must match exactly; boxes must be close wherever either side kept
+    the candidate. Returns (ok, n_straddlers)."""
+    s0n = np.asarray(s0, np.float32)
+    s1n = np.asarray(s1, np.float32)
+    mism = ~np.isclose(s0n, s1n, atol=score_atol, rtol=1e-3)
+    lo = np.minimum(s0n, s1n)[mism]
+    hi = np.maximum(s0n, s1n)[mism]
+    straddle_ok = bool(np.all((lo == 0.0)
+                              & (np.abs(hi - prob_thresh) < straddle_eps)))
+    kept = (s0n > 0) | (s1n > 0)
+    p0n, p1n = np.asarray(p0, np.float32), np.asarray(p1, np.float32)
+    idx_ok = np.array_equal(p0n[..., 6][kept], p1n[..., 6][kept])
+    boxes_ok = bool(np.allclose(p0n[..., :4][kept], p1n[..., :4][kept],
+                                atol=box_atol, rtol=1e-4))
+    return straddle_ok and idx_ok and boxes_ok, int(mism.sum())
+
+
 def check_fused_head_decode():
-    """Head-conv-fused packed decode on chip: same survivors as the unfused
-    packed path at fp32 `highest` (float-tolerance scores/boxes — the head
-    projection accumulates in-kernel without the intermediate head map)."""
+    """Head-conv-fused packed decode on chip: candidate-level equivalence
+    with the unfused packed path at fp32 `highest` (position-aligned,
+    threshold-straddler-aware — see _packed_paths_close), then the fused
+    output runs through NMS to prove the e2e serving program compiles."""
     from yolov3_tpu.graph import load_graph
     from yolov3_tpu.model import (forward_packed, forward_packed_fused,
                                   fused_heads_eligible)
@@ -155,21 +184,15 @@ def check_fused_head_decode():
         g, p, x, prob_thresh=0.3, precision="highest"))(params, x)
     p1, s1 = jax.jit(lambda p, x: forward_packed_fused(
         g, p, x, prob_thresh=0.3, precision="highest"))(params, x)
-    r0 = batched_nms_packed(p0, s0, iou_thresh=0.4)
+    ok, n_straddle = _packed_paths_close(p0, s0, p1, s1, prob_thresh=0.3,
+                                         score_atol=1e-4)
     r1 = batched_nms_packed(p1, s1, iou_thresh=0.4)
-    n0, n1 = (int(np.asarray(r.valid).sum()) for r in (r0, r1))
-    same_cls = np.array_equal(
-        np.asarray(r0.classes)[np.asarray(r0.valid)],
-        np.asarray(r1.classes)[np.asarray(r1.valid)]) if n0 == n1 else False
-    box_close = (np.allclose(np.asarray(r0.boxes)[np.asarray(r0.valid)],
-                             np.asarray(r1.boxes)[np.asarray(r1.valid)],
-                             atol=5e-3, rtol=1e-4) if n0 == n1 else False)
-    print(f"fused-head decode compiled: survivors {n1} (unfused {n0}), "
-          f"classes match: {same_cls}, boxes close: {box_close}")
-    assert n0 == n1 and same_cls and box_close, \
-        "fused-head decode diverges on TPU"
+    n1 = int(np.asarray(r1.valid).sum())
+    print(f"fused-head decode compiled: candidates match: {ok} "
+          f"({n_straddle} threshold straddlers), NMS survivors {n1}")
+    assert ok, "fused-head decode diverges on TPU"
 
-    # int8-carrier variant: same unfused-vs-fused bars on the PTQ path
+    # int8-carrier variant: same candidate-level bars on the PTQ path
     from yolov3_tpu.quant import (calibrate_tensors,
                                   forward_packed_fused_int8,
                                   forward_packed_int8, quantize_weights)
@@ -182,11 +205,16 @@ def check_fused_head_decode():
     pq1, sq1 = jax.jit(lambda q, x: forward_packed_fused_int8(
         g, q, scales, x, prob_thresh=0.3, precision="bf16",
         carrier="int8"))(qparams, x)
-    sq0n, sq1n = np.asarray(sq0), np.asarray(sq1)
-    ok = (np.allclose(sq0n, sq1n, atol=1e-3, rtol=1e-3)
-          and np.array_equal(np.asarray(pq0)[..., 6], np.asarray(pq1)[..., 6]))
-    print(f"int8 fused-head decode compiled: {int((sq1n > 0).sum())} "
-          f"candidates, scores close: {ok}")
+    # box atol is in PIXELS and the int8 carrier rides bf16 activations:
+    # a ~100 px coordinate at bf16 relative eps (~4e-3) moves ~0.4 px
+    # between the two accumulation orders — 0.75 px bounds that, while a
+    # real decode bug (wrong stride/anchor/offset) moves boxes by whole
+    # cells (>=8 px)
+    ok, n_straddle = _packed_paths_close(pq0, sq0, pq1, sq1, prob_thresh=0.3,
+                                         score_atol=1e-3, box_atol=0.75)
+    print(f"int8 fused-head decode compiled: "
+          f"{int((np.asarray(sq1) > 0).sum())} candidates, match: {ok} "
+          f"({n_straddle} threshold straddlers)")
     assert ok, "int8 fused-head decode diverges on TPU"
 
 

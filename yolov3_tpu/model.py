@@ -176,6 +176,18 @@ def forward(
     )
 
 
+def _consumer_counts(graph: Graph) -> Dict[int, int]:
+    """node index → number of graph nodes consuming its output (the single
+    source for 'is this head conv's only consumer its yolo node' gates —
+    keep pad_head_params and fused_heads_eligible on this one count)."""
+    consumers: Dict[int, int] = {}
+    for n in graph.nodes:
+        for i in n.inputs:
+            if i >= 0:
+                consumers[i] = consumers.get(i, 0) + 1
+    return consumers
+
+
 def pad_head_params(graph: Graph, params, lanes: int = 128):
     """Zero-pad each head conv's output channels to the lane boundary.
 
@@ -193,11 +205,7 @@ def pad_head_params(graph: Graph, params, lanes: int = 128):
     otherwise. Handles both float ({"w","b"}) and int8 ({"wq","sw","b"})
     param forms.
     """
-    consumers: Dict[int, int] = {}
-    for n in graph.nodes:
-        for i in n.inputs:
-            if i >= 0:
-                consumers[i] = consumers.get(i, 0) + 1
+    consumers = _consumer_counts(graph)
     out = dict(params)
     for yn in graph.yolo_nodes:
         hc = yn.inputs[0]
@@ -280,14 +288,15 @@ def fused_heads_eligible(graph: Graph) -> bool:
     input channel count sits on the 128-lane boundary (the in-kernel MXU
     dot's contraction dim), and whose yolo node's pass-through output feeds
     nothing. True for yolov3/tiny/spp (Cin 256/384/512/768/1024).
-    """
-    from .ops.pallas_decode import LANES, MAX_ANCHORS
 
-    consumers: Dict[int, int] = {}
-    for n in graph.nodes:
-        for i in n.inputs:
-            if i >= 0:
-                consumers[i] = consumers.get(i, 0) + 1
+    The shape half of the gate (lane-aligned Cin, anchor count) is the
+    kernel's own ``ops.pallas_decode.fused_head_supported`` — this wrapper
+    adds only the graph-structure conditions, so the Detector gate and the
+    kernel's own eligibility check can never disagree.
+    """
+    from .ops.pallas_decode import fused_head_supported
+
+    consumers = _consumer_counts(graph)
     for yn in graph.yolo_nodes:
         hc = yn.inputs[0]
         node = graph.nodes[hc]
@@ -297,8 +306,7 @@ def fused_heads_eligible(graph: Graph) -> bool:
                 and node.stride == 1 and node.activation == "linear"
                 and consumers.get(hc, 0) == 1
                 and consumers.get(yn.index, 0) == 0
-                and cin % LANES == 0
-                and len(yn.anchors) <= MAX_ANCHORS):
+                and fused_head_supported(cin, yn.anchors)):
             return False
     return True
 
