@@ -25,6 +25,36 @@ REPO = Path(__file__).parent
 BASELINE_CACHE = REPO / "BENCH_TORCH_BASELINE.json"
 
 
+def device_reachable(timeout_s: float = 180.0):
+    """Bounded device-reachability probe, run in a CHILD process.
+
+    Through the axon relay a dead tunnel makes the first device op hang
+    forever — no error, no timeout (CLAUDE.md "Environment gotchas"). If
+    that happens inside the driver's end-of-round bench run, the round
+    records nothing. Touching the device in a subprocess bounds the hang:
+    the child either completes a tiny device op (relay healthy, or jax fell
+    back to another platform — bench then measures whatever it would have
+    measured anyway) or is killed at ``timeout_s`` and the caller can emit
+    an explanatory failure instead of wedging. Returns (ok, detail).
+    """
+    import subprocess
+    import sys
+
+    src = ("import jax\n"
+           "d = jax.devices()[0]\n"
+           "import jax.numpy as jnp\n"
+           "print(d.platform, float(jnp.sum(jnp.ones((8, 128)))))\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", src], timeout=timeout_s,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return False, (f"device probe hung >{timeout_s:.0f}s "
+                       f"(TPU relay down?)")
+    if r.returncode != 0:
+        return False, (r.stderr or "device probe failed").strip()[-400:]
+    return True, r.stdout.strip()
+
+
 def _scanned(run, scan):
     """Fuse ``scan`` pipeline steps into one dispatched lax.scan program
     (the Detector(scan=) serving configuration): launch overhead amortizes
@@ -324,15 +354,60 @@ def main():
                     default="bf16",
                     help="serving precision (bf16 = production default; int8 "
                          "= PTQ fast path; box parity is checked in tests)")
+    ap.add_argument("--probe-timeout", type=float, default=180.0,
+                    help="bounded device-reachability probe before any jax "
+                         "work (a dead relay tunnel otherwise hangs the "
+                         "first dispatch forever); 0 disables")
+    ap.add_argument("--deadline", type=float, default=3600.0,
+                    help="whole-run wall-clock deadline in seconds; if the "
+                         "relay dies MID-run the next sync fetch hangs "
+                         "forever, so a watchdog aborts with an error line "
+                         "instead (healthy full runs finish well under "
+                         "30 min); 0 disables")
     args = ap.parse_args()
 
-    from tools.bench_clock import enable_compile_cache
+    if args.deadline > 0:
+        import os
+        import threading
 
-    enable_compile_cache()
+        def _expire():
+            # stdout may hold a partial line; the driver reads the LAST line
+            print("\n" + json.dumps({
+                "metric": f"images/sec/chip {Path(args.cfg).stem} "
+                          f"batch{args.batch} {args.precision} e2e inference",
+                "value": 0.0,
+                "unit": "img/s",
+                "vs_baseline": 0.0,
+                "error": f"bench exceeded {args.deadline:.0f}s deadline "
+                         f"(relay died mid-run?)",
+            }), flush=True)
+            os._exit(3)
+
+        t = threading.Timer(args.deadline, _expire)
+        t.daemon = True
+        t.start()
 
     if args.quick:
         args.cfg, args.size, args.batch, args.iters = ("yolov3-tiny.cfg", 416,
                                                        8, 5)
+
+    if args.probe_timeout > 0:
+        ok, detail = device_reachable(args.probe_timeout)
+        if not ok:
+            # one honest JSON line the driver can record instead of a hang
+            print(json.dumps({
+                "metric": f"images/sec/chip {Path(args.cfg).stem} "
+                          f"batch{args.batch} {args.precision} e2e inference",
+                "value": 0.0,
+                "unit": "img/s",
+                "vs_baseline": 0.0,
+                "error": f"device unreachable: {detail}",
+            }))
+            raise SystemExit(2)
+
+    from tools.bench_clock import enable_compile_cache
+
+    enable_compile_cache()
 
     from yolov3_tpu.graph import load_graph
     from yolov3_tpu.weights import fold_raw, random_raw
