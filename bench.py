@@ -366,27 +366,6 @@ def main():
                          "30 min); 0 disables")
     args = ap.parse_args()
 
-    if args.deadline > 0:
-        import os
-        import threading
-
-        def _expire():
-            # stdout may hold a partial line; the driver reads the LAST line
-            print("\n" + json.dumps({
-                "metric": f"images/sec/chip {Path(args.cfg).stem} "
-                          f"batch{args.batch} {args.precision} e2e inference",
-                "value": 0.0,
-                "unit": "img/s",
-                "vs_baseline": 0.0,
-                "error": f"bench exceeded {args.deadline:.0f}s deadline "
-                         f"(relay died mid-run?)",
-            }), flush=True)
-            os._exit(3)
-
-        t = threading.Timer(args.deadline, _expire)
-        t.daemon = True
-        t.start()
-
     if args.quick:
         args.cfg, args.size, args.batch, args.iters = ("yolov3-tiny.cfg", 416,
                                                        8, 5)
@@ -395,16 +374,51 @@ def main():
         ok, detail = device_reachable(args.probe_timeout)
         if not ok:
             # one honest JSON line the driver can record instead of a hang
-            print(json.dumps({
-                "metric": f"images/sec/chip {Path(args.cfg).stem} "
-                          f"batch{args.batch} {args.precision} e2e inference",
-                "value": 0.0,
-                "unit": "img/s",
-                "vs_baseline": 0.0,
-                "error": f"device unreachable: {detail}",
-            }))
+            print(_fail_row(args, f"device unreachable: {detail}"))
             raise SystemExit(2)
 
+    timer = None
+    if args.deadline > 0:
+        import os
+        import threading
+
+        def _expire():
+            # stdout may hold a partial line; the driver reads the LAST line
+            print("\n" + _fail_row(args,
+                                   f"bench exceeded {args.deadline:.0f}s "
+                                   f"deadline (relay died mid-run?)"),
+                  flush=True)
+            os._exit(3)
+
+        timer = threading.Timer(args.deadline, _expire)
+        timer.daemon = True
+        timer.start()
+    # cancel on EVERY exit: an armed timer would os._exit(3) any host
+    # process that called main() in-process (e.g. the test suite) an hour
+    # later
+    try:
+        _run(args)
+    finally:
+        if timer is not None:
+            timer.cancel()
+
+
+def _fail_row(args, error):
+    """Failure JSON line keyed like the success headline — the metric name
+    must carry the ``@size`` segment or the driver records the error under
+    a key that joins nothing in BASELINE.json."""
+    size = args.size or 608
+    return json.dumps({
+        "metric": f"images/sec/chip {Path(args.cfg).stem}@{size} "
+                  f"batch{args.batch} {args.precision} e2e inference",
+        "value": 0.0,
+        "unit": "img/s",
+        "vs_baseline": 0.0,
+        "error": error,
+    })
+
+
+def _run(args):
     from tools.bench_clock import enable_compile_cache
 
     enable_compile_cache()

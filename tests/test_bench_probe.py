@@ -24,15 +24,22 @@ def test_probe_times_out_bounded():
 
 
 def test_deadline_watchdog_aborts_with_json_error():
-    # 2 s is below any possible bench completion (first compile alone is
-    # tens of seconds), so the watchdog fires deterministically whether the
-    # device is reachable or not — pinning the mid-run-hang escape hatch
+    # 2 s is below any possible bench completion (compile + the timed
+    # blocks are tens of seconds even on CPU), so the watchdog fires
+    # deterministically — pinning the mid-run-hang escape hatch. The child
+    # must force CPU via jax.config (NOT the env var: the sitecustomize
+    # latch beats it — CLAUDE.md) or this test would dispatch real relay
+    # work and could wedge a concurrently running chip process.
     import subprocess
 
-    r = subprocess.run(
-        [sys.executable, "bench.py", "--quick", "--probe-timeout", "0",
-         "--deadline", "2"],
-        capture_output=True, text=True, timeout=120, cwd=bench.REPO)
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import runpy, sys; "
+            "sys.argv = ['bench.py', '--quick', '--probe-timeout', '0', "
+            "'--deadline', '2']; "
+            "runpy.run_path('bench.py', run_name='__main__')")
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=120,
+                       cwd=bench.REPO)
     assert r.returncode == 3
     row = json.loads(r.stdout.strip().splitlines()[-1])
     assert "deadline" in row["error"]
@@ -48,6 +55,7 @@ def test_main_fails_fast_with_json_error(monkeypatch, capsys):
     row = json.loads(capsys.readouterr().out.strip())
     assert row["error"].startswith("device unreachable")
     assert row["value"] == 0.0 and row["unit"] == "img/s"
-    # the metric line still names the configured model + precision so the
-    # driver's record stays self-describing
-    assert "yolov3-tiny" in row["metric"] and "bf16" in row["metric"]
+    # the metric line must key exactly like the success headline
+    # (model@size batch precision) so the error row joins BASELINE.json
+    assert "yolov3-tiny@416" in row["metric"]
+    assert "batch8" in row["metric"] and "bf16" in row["metric"]
