@@ -24,6 +24,12 @@ import numpy as np
 REPO = Path(__file__).parent
 BASELINE_CACHE = REPO / "BENCH_TORCH_BASELINE.json"
 
+# rows measured so far this run — the deadline watchdog includes them in its
+# error line, so a mid-run wedge (dead relay, bad kernel) never discards the
+# rows that DID complete
+_PARTIAL = {}
+_T0 = time.perf_counter()
+
 
 def device_reachable(timeout_s: float = 180.0):
     """Bounded device-reachability probe, run in a CHILD process.
@@ -366,6 +372,9 @@ def main():
                          "30 min); 0 disables")
     args = ap.parse_args()
 
+    global _T0
+    _T0 = time.perf_counter()
+
     if args.quick:
         args.cfg, args.size, args.batch, args.iters = ("yolov3-tiny.cfg", 416,
                                                        8, 5)
@@ -386,7 +395,8 @@ def main():
             # stdout may hold a partial line; the driver reads the LAST line
             print("\n" + _fail_row(args,
                                    f"bench exceeded {args.deadline:.0f}s "
-                                   f"deadline (relay died mid-run?)"),
+                                   f"deadline (relay died mid-run?)",
+                                   rows=dict(_PARTIAL)),
                   flush=True)
             os._exit(3)
 
@@ -403,19 +413,28 @@ def main():
             timer.cancel()
 
 
-def _fail_row(args, error):
+def _fail_row(args, error, rows=None):
     """Failure JSON line keyed like the success headline — the metric name
     must carry the ``@size`` segment or the driver records the error under
-    a key that joins nothing in BASELINE.json."""
+    a key that joins nothing in BASELINE.json. ``rows`` (the _PARTIAL dict)
+    preserves everything measured before the failure; if the headline row
+    completed, its rate becomes the reported value."""
     size = args.size or 608
-    return json.dumps({
+    out = {
         "metric": f"images/sec/chip {Path(args.cfg).stem}@{size} "
                   f"batch{args.batch} {args.precision} e2e inference",
         "value": 0.0,
         "unit": "img/s",
         "vs_baseline": 0.0,
         "error": error,
-    })
+    }
+    if rows:
+        out["rows"] = rows
+        first = next((r for r in rows.values() if "img_s" in r), None)
+        if first:  # insertion order: the headline row is measured first
+            out["value"] = first["img_s"]
+            out["vs_baseline"] = first.get("vs_baseline", 0.0)
+    return json.dumps(out)
 
 
 def _run(args):
@@ -469,7 +488,8 @@ def _run(args):
             return max(1, args.scan)
         return 4 if size >= 608 else 8
 
-    def measure_at(size, prec, prms):
+    def measure_at(size, prec, prms, fused=None):
+        fused = args.fused_heads if fused is None else fused
         scan = scan_for(size)
         frames = np.random.default_rng(1).integers(
             0, 256, (args.batch, size, size, 3), dtype=np.uint8)
@@ -485,10 +505,10 @@ def _run(args):
             return measure_tpu_int8(graph, prms, frames, iters,
                                     quantize_heads=args.int8_heads,
                                     quantize_stem=args.int8_stem,
-                                    scan=scan, fused_heads=args.fused_heads,
+                                    scan=scan, fused_heads=fused,
                                     select_group=args.select_group)
         return measure_tpu(graph, prms, frames, iters, precision=prec,
-                           scan=scan, fused_heads=args.fused_heads,
+                           scan=scan, fused_heads=fused,
                            select_group=args.select_group)
 
     # BASELINE.json's tracked metric names BOTH @608 and @416 — default run
@@ -518,7 +538,10 @@ def _run(args):
             row["select_group"] = args.select_group
         return row
 
-    rows = {}
+    # rows accumulate in the module-level _PARTIAL so the deadline watchdog
+    # can preserve everything measured before a mid-run wedge
+    _PARTIAL.clear()
+    rows = _PARTIAL
     headline = None
     for size in sizes:
         if args.profile and size == sizes[0]:
@@ -555,6 +578,38 @@ def _run(args):
                 "scan": scan_for(size),
                 "vs_baseline": round(ips / base["img_s"], 2),
             })
+
+    # Opportunistic fused-head rows (the round-3 open question): the fused
+    # decode (decode_impl="pallas-fused") was built during a relay outage
+    # and its on-chip delta is unmeasured — measure it as EXTRA rows in the
+    # driver's own run so the answer lands in BENCH_r0N.json. Crash-guarded:
+    # the kernel has never been Mosaic-compiled on real hardware, and a
+    # failure here must not cost the measured headline; a WEDGE (hang, not
+    # exception) is covered by the deadline watchdog, which preserves the
+    # rows above via _PARTIAL.
+    if (precision == "bf16" and args.size is None and not args.quick
+            and not args.fused_heads):
+        from yolov3_tpu.model import fused_heads_eligible
+
+        elapsed = time.perf_counter() - _T0
+        in_budget = args.deadline <= 0 or elapsed < args.deadline * 0.5
+        if fused_heads_eligible(graph) and in_budget:
+            base = torch_baseline(graph, raw, 608, batch=min(args.batch, 4),
+                                  iters=torch_iters)
+            for prec, prms in (("bf16", run_params), ("int8", params)):
+                key = f"{graph.name}@608 batch{args.batch} {prec} fused-heads"
+                try:
+                    ips, blocks = measure_at(608, prec, prms, fused=True)
+                    rows[key] = {
+                        "img_s": round(ips, 2),
+                        "blocks": [round(b, 2) for b in blocks],
+                        "scan": scan_for(608),
+                        "vs_baseline": round(ips / base["img_s"], 2),
+                        "fused_heads": True,
+                    }
+                except Exception as e:  # never cost the headline
+                    rows[key] = {"error": f"{type(e).__name__}: {e}"[:300],
+                                 "fused_heads": True}
 
     size, tpu_ips, torch_ips = headline
     print(json.dumps({

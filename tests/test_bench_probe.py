@@ -45,6 +45,54 @@ def test_deadline_watchdog_aborts_with_json_error():
     assert "deadline" in row["error"]
 
 
+def test_fused_extra_rows_and_crash_guard(monkeypatch, capsys):
+    # the default full run appends opportunistic fused-heads rows at 608;
+    # a fused-path failure must land in that row's "error" field, never
+    # cost the already-measured headline
+    calls = []
+
+    def fake_tpu(graph, prms, frames, iters, **kw):
+        calls.append(("bf16", frames.shape[1], kw.get("fused_heads")))
+        if kw.get("fused_heads"):
+            raise RuntimeError("mosaic lowering failed")
+        return 100.0, [100.0, 99.0]
+
+    def fake_int8(graph, prms, frames, iters, **kw):
+        calls.append(("int8", frames.shape[1], kw.get("fused_heads")))
+        return 200.0, [200.0, 199.0]
+
+    monkeypatch.setattr(bench, "measure_tpu", fake_tpu)
+    monkeypatch.setattr(bench, "measure_tpu_int8", fake_int8)
+    monkeypatch.setattr(bench, "torch_baseline",
+                        lambda *a, **k: {"img_s": 1.0, "std": 0.0})
+    monkeypatch.setattr(sys, "argv",
+                        ["bench.py", "--cfg", "yolov3-tiny.cfg", "--batch",
+                         "2", "--deadline", "0", "--probe-timeout", "0"])
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip())
+    rows = out["rows"]
+    assert out["value"] == 100.0  # headline untouched by the fused failure
+    fb = rows["yolov3-tiny@608 batch2 bf16 fused-heads"]
+    assert "mosaic lowering failed" in fb["error"] and fb["fused_heads"]
+    fq = rows["yolov3-tiny@608 batch2 int8 fused-heads"]
+    assert fq["img_s"] == 200.0 and fq["fused_heads"] is True
+    # standard rows measured unfused; only the extras passed fused=True
+    assert ("bf16", 608, True) in calls and ("bf16", 608, False) in calls
+
+
+def test_fail_row_preserves_partial_rows():
+    import argparse
+
+    ns = argparse.Namespace(cfg="yolov3.cfg", size=None, batch=128,
+                            precision="bf16")
+    rows = {"yolov3@608 batch128 bf16": {"img_s": 907.0,
+                                         "vs_baseline": 1400.0}}
+    row = json.loads(bench._fail_row(ns, "wedged", rows=rows))
+    # a mid-run wedge after the headline completed still reports it
+    assert row["value"] == 907.0 and row["vs_baseline"] == 1400.0
+    assert row["rows"] == rows and row["error"] == "wedged"
+
+
 def test_main_fails_fast_with_json_error(monkeypatch, capsys):
     monkeypatch.setattr(bench, "device_reachable",
                         lambda t: (False, "TPU relay down?"))
