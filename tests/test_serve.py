@@ -68,6 +68,50 @@ def test_healthz_and_stats(server):
     assert stats["mean_latency_ms"] > 0
 
 
+def test_metrics_prometheus_text():
+    """_Stats.prometheus: cumulative le-bucket semantics, +Inf consistency,
+    error/batch counters — checked on deterministic recorded values."""
+    from yolov3_tpu.serve import _Stats
+
+    st = _Stats()
+    st.record(0.03)
+    st.record(0.04)
+    st.record(6.0)  # beyond the last finite bucket -> +Inf only
+    st.record_error()
+    st.record_batch(4)
+    st.record_batch(4)
+    text = st.prometheus(queue_depth=3)
+    lines = dict(ln.rsplit(" ", 1) for ln in text.splitlines()
+                 if ln and not ln.startswith("#"))
+    assert lines["yolov3_requests_total"] == "3"
+    assert lines["yolov3_errors_total"] == "1"
+    assert lines['yolov3_request_latency_seconds_bucket{le="0.025"}'] == "0"
+    assert lines['yolov3_request_latency_seconds_bucket{le="0.05"}'] == "2"
+    assert lines['yolov3_request_latency_seconds_bucket{le="5.0"}'] == "2"
+    assert lines['yolov3_request_latency_seconds_bucket{le="+Inf"}'] == "3"
+    assert float(lines["yolov3_request_latency_seconds_sum"]) == \
+        pytest.approx(6.07)
+    assert lines["yolov3_request_latency_seconds_count"] == "3"
+    assert lines['yolov3_device_batches_total{size="4"}'] == "2"
+    assert lines["yolov3_queue_depth"] == "3"
+
+
+def test_metrics_endpoint(server):
+    with urllib.request.urlopen(server + "/metrics", timeout=10) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    lines = dict(ln.rsplit(" ", 1) for ln in text.splitlines()
+                 if ln and not ln.startswith("#"))
+    assert int(lines["yolov3_requests_total"]) >= 1
+    # single-threaded mode: every device batch is one request
+    assert int(lines['yolov3_device_batches_total{size="1"}']) >= 1
+    # no batcher -> no queue to report
+    assert "yolov3_queue_depth" not in lines
+    # histogram total equals the request counter
+    assert lines['yolov3_request_latency_seconds_bucket{le="+Inf"}'] \
+        == lines["yolov3_request_latency_seconds_count"]
+
+
 def test_bad_payload_is_400(server):
     status, body = _post(server + "/detect", b"this is not an image")
     assert status == 400
@@ -122,6 +166,23 @@ def test_microbatched_concurrent_requests(batched_server):
 def test_microbatched_bad_payload(batched_server):
     status, body = _post(batched_server + "/detect", b"garbage")
     assert status == 400
+
+
+def test_microbatched_metrics(batched_server):
+    """After the concurrent burst: coalesced batch sizes and the queue-depth
+    gauge show up in /metrics."""
+    with urllib.request.urlopen(batched_server + "/metrics", timeout=10) as r:
+        text = r.read().decode()
+    lines = dict(ln.rsplit(" ", 1) for ln in text.splitlines()
+                 if ln and not ln.startswith("#"))
+    assert "yolov3_queue_depth" in lines
+    coalesced = {int(k.split('"')[1]): int(v) for k, v in lines.items()
+                 if k.startswith("yolov3_device_batches_total")}
+    # 8 requests through a max_batch=4 window: every recorded batch is
+    # 1..4 requests and they sum to the request counter
+    assert coalesced and all(1 <= s <= 4 for s in coalesced)
+    assert sum(s * n for s, n in coalesced.items()) \
+        == int(lines["yolov3_requests_total"])
 
 def test_graceful_drain_mid_batch(tmp_path_factory, cfg_paths):
     """SIGTERM lands while requests sit mid-batch in the micro-batcher's

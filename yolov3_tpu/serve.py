@@ -10,7 +10,9 @@ Stdlib-only HTTP server: POST an encoded image (JPEG/PNG bytes) to ``/detect``
     curl -s --data-binary @dog.jpg localhost:8500/detect | jq .
 
 Endpoints: ``POST /detect`` (image bytes → detections),
-``GET /healthz`` (readiness), ``GET /stats`` (request counters/latency).
+``GET /healthz`` (readiness), ``GET /stats`` (JSON counters/latency),
+``GET /metrics`` (Prometheus text: latency histogram, error counters,
+coalesced-batch-size distribution, queue depth, uptime).
 
 Two modes:
 
@@ -47,6 +49,13 @@ class GracefulThreadingHTTPServer(ThreadingHTTPServer):
     block_on_close = True
 
 
+# latency histogram bucket upper bounds in SECONDS (Prometheus `le`
+# semantics: cumulative, observation counted in every bucket >= it); spans
+# the measured serving range — ~30-50 ms relay-bound single requests up to
+# multi-second cold paths
+_LAT_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0)
+
+
 class _Stats:
     """Thread-safe counters (handlers run concurrently in threaded mode)."""
 
@@ -56,15 +65,76 @@ class _Stats:
         self.errors = 0
         self.total_latency = 0.0
         self.started = time.time()
+        self.lat_buckets = [0] * (len(_LAT_BUCKETS) + 1)  # last = +Inf
+        self.batch_sizes: dict = {}  # coalesced device batch size -> count
 
     def record(self, latency: float):
+        import bisect
+
         with self._lock:
             self.requests += 1
             self.total_latency += latency
+            self.lat_buckets[bisect.bisect_left(_LAT_BUCKETS, latency)] += 1
 
     def record_error(self):
         with self._lock:
             self.errors += 1
+
+    def record_batch(self, n: int):
+        with self._lock:
+            self.batch_sizes[n] = self.batch_sizes.get(n, 0) + 1
+
+    def prometheus(self, queue_depth: Optional[int] = None) -> str:
+        """Prometheus text exposition (version 0.0.4) of every metric —
+        what a production scraper consumes; /stats stays the human-readable
+        JSON summary."""
+        with self._lock:
+            req, err = self.requests, self.errors
+            lat_sum = self.total_latency
+            buckets = list(self.lat_buckets)
+            sizes = dict(self.batch_sizes)
+            uptime = time.time() - self.started
+        out = [
+            "# HELP yolov3_requests_total Successful /detect requests.",
+            "# TYPE yolov3_requests_total counter",
+            f"yolov3_requests_total {req}",
+            "# HELP yolov3_errors_total Failed /detect requests.",
+            "# TYPE yolov3_errors_total counter",
+            f"yolov3_errors_total {err}",
+            "# HELP yolov3_request_latency_seconds End-to-end /detect "
+            "latency.",
+            "# TYPE yolov3_request_latency_seconds histogram",
+        ]
+        cum = 0
+        for bound, n in zip(_LAT_BUCKETS, buckets):
+            cum += n
+            out.append(f'yolov3_request_latency_seconds_bucket'
+                       f'{{le="{bound}"}} {cum}')
+        out.append(f'yolov3_request_latency_seconds_bucket{{le="+Inf"}} '
+                   f'{cum + buckets[-1]}')
+        out.append(f"yolov3_request_latency_seconds_sum {lat_sum:.6f}")
+        out.append(f"yolov3_request_latency_seconds_count {req}")
+        out += [
+            "# HELP yolov3_device_batches_total Coalesced device batches "
+            "by size (micro-batching).",
+            "# TYPE yolov3_device_batches_total counter",
+        ]
+        for size in sorted(sizes):
+            out.append(f'yolov3_device_batches_total{{size="{size}"}} '
+                       f'{sizes[size]}')
+        if queue_depth is not None:
+            out += [
+                "# HELP yolov3_queue_depth Requests waiting in the "
+                "micro-batch queue.",
+                "# TYPE yolov3_queue_depth gauge",
+                f"yolov3_queue_depth {queue_depth}",
+            ]
+        out += [
+            "# HELP yolov3_uptime_seconds Seconds since server start.",
+            "# TYPE yolov3_uptime_seconds gauge",
+            f"yolov3_uptime_seconds {uptime:.1f}",
+        ]
+        return "\n".join(out) + "\n"
 
 
 class MicroBatcher:
@@ -80,10 +150,11 @@ class MicroBatcher:
         """Queue full — reject fast (HTTP 503) instead of queueing forever."""
 
     def __init__(self, detector, window_s: float = 0.005,
-                 max_batch: int = 16):
+                 max_batch: int = 16, stats: Optional[_Stats] = None):
         self.detector = detector
         self.window_s = float(window_s)
         self.max_batch = int(max_batch)
+        self.stats = stats
         # bounded queue = backpressure: overload rejects immediately rather
         # than growing queue depth/threads/decoded-frame memory without limit
         self._q: "queue_mod.Queue" = queue_mod.Queue(maxsize=4 * max_batch)
@@ -131,6 +202,8 @@ class MicroBatcher:
             pad = self.max_batch - len(frames)
             if pad:
                 frames = frames + [frames[-1]] * pad
+            if self.stats is not None:
+                self.stats.record_batch(len(batch))  # real requests, not pad
             try:
                 results = self.detector.detect_mixed(frames)[:len(batch)]
                 for (_, done, slot), res in zip(batch, results):
@@ -196,6 +269,15 @@ def make_handler(detector, class_names, stats: _Stats,
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"status": "ok"})
+            elif self.path == "/metrics":
+                depth = (batcher._q.qsize() if batcher is not None else None)
+                body = stats.prometheus(queue_depth=depth).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path == "/stats":
                 mean = (stats.total_latency / stats.requests
                         if stats.requests else 0.0)
@@ -232,6 +314,7 @@ def make_handler(detector, class_names, stats: _Stats,
                 if batcher is not None:
                     det = batcher.detect(frame)
                 else:
+                    stats.record_batch(1)
                     (det,) = detector.detect_mixed([frame])
                 out = [{
                     "bbox_tlbr": [round(float(v), 2) for v in box],
@@ -278,7 +361,7 @@ def serve(detector, class_names=None, host: str = "127.0.0.1",
                    else [tuple(hw) for hw in warmup_hw])
     if batch_window_s > 0:
         batcher = MicroBatcher(detector, window_s=batch_window_s,
-                               max_batch=max_batch)
+                               max_batch=max_batch, stats=stats)
         if server_cls is None:
             server_cls = GracefulThreadingHTTPServer
         # the batcher pads every batch to max_batch, so exactly one
