@@ -103,6 +103,38 @@ def test_run_model_on_coco_end_to_end(tmp_path, cfg_paths):
     assert 0.0 <= res["mAP50_95"] <= res["mAP50"] + 1e-9
 
 
+def test_run_model_on_coco_int8(tmp_path, cfg_paths):
+    """quantize_int8=N evaluates the int8-carrier serving tier: PTQ
+    calibration on the first N eval images, finite mAP out — the accuracy
+    harness for the int8 speed numbers."""
+    import cv2
+
+    from yolov3_tpu.graph import load_graph
+    from yolov3_tpu.weights import random_raw, write_weights
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=12))
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(3)
+    cv2.imwrite(str(img_dir / "a.jpg"),
+                rng.integers(0, 256, (200, 200, 3), dtype=np.uint8))
+    ann = {"images": [{"id": 1, "file_name": "a.jpg", "height": 200,
+                       "width": 200}],
+           "annotations": [{"id": 1, "image_id": 1, "category_id": 7,
+                            "bbox": [10, 10, 80, 60], "iscrowd": 0}],
+           "categories": [{"id": 7, "name": "truck"}]}
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps(ann))
+
+    res = run_model_on_coco(img_dir, ann_path, cfg_paths["yolov3-tiny"],
+                            wpath, prob_thresh=0.3, batch_size=1,
+                            quantize_int8=1)
+    assert 0.0 <= res["mAP50"] <= 1.0
+    assert np.isfinite(res["mAP50_95"])
+
+
 def test_truncation_audit_auto_triggers(tmp_path, cfg_paths):
     """Round-2 verdict next #5: with a top_k small enough to saturate
     (random weights pass thousands of candidates at 0.05), the auto audit

@@ -124,7 +124,7 @@ def evaluate(detections, ground_truth, iou_thresholds=None):
 def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
                       iou_thresh=0.45, batch_size=16, limit=None,
                       precision=None, top_k=1024, audit="auto",
-                      audit_sample=32):
+                      audit_sample=32, quantize_int8=0):
     import cv2
 
     from yolov3_tpu.inference import Detector
@@ -145,6 +145,22 @@ def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
     images = coco["images"][:limit] if limit else coco["images"]
 
     net = Darknet(cfg, precision=precision).load_weights(weights)
+    if quantize_int8:
+        # accuracy harness for the int8 serving tier: PTQ-calibrate on the
+        # first N eval images (the same distribution being scored), then
+        # every detection below — including the truncation audit — runs the
+        # int8-carrier pipeline the serving fast path uses
+        calib = []
+        for info in images:
+            f = cv2.imread(str(Path(images_dir) / info["file_name"]))
+            if f is not None:
+                calib.append(f[..., ::-1])  # BGR→RGB, native size
+            if len(calib) >= quantize_int8:
+                break
+        if not calib:
+            raise ValueError(f"no readable calibration images in "
+                             f"{images_dir}")
+        net.quantize_int8(calib)
     # max_results must not cap below top_k: mAP at low thresholds counts the
     # full survivor set (COCO's own 100-det cap is NOT applied here).
     # top_k defaults to 1024 here (vs the serving default 512): at
@@ -275,14 +291,22 @@ def main():
                          "saturated images at 2x --top-k whenever the "
                          "saturation counters are nonzero; 'always' audits a "
                          "sample unconditionally; 'off' disables")
+    ap.add_argument("--quantize-int8", type=int, default=0, metavar="N",
+                    help="evaluate the int8 PTQ serving tier: calibrate on "
+                         "the first N eval images (32 is plenty), then score "
+                         "the int8-carrier pipeline — THE accuracy check for "
+                         "the int8 speed numbers in BASELINE.md")
     args = ap.parse_args()
 
     res = run_model_on_coco(args.images, args.annotations, args.config,
                             args.weights, args.prob_thresh, args.iou_thresh,
                             args.batch_size, args.limit, args.precision,
-                            args.top_k, audit=args.audit)
+                            args.top_k, audit=args.audit,
+                            quantize_int8=args.quantize_int8)
     line = {"mAP50": round(res["mAP50"], 4),
             "mAP50_95": round(res["mAP50_95"], 4)}
+    if args.quantize_int8:
+        line["precision"] = "int8"
     if "audit" in res:
         line["audit"] = res["audit"]
     print(json.dumps(line))
