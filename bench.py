@@ -198,7 +198,8 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
 
 
 def measure_latency(graph, params, size, batches=(1, 8, 32), n=20,
-                    precision="bf16", prob_thresh=0.05):
+                    precision="bf16", prob_thresh=0.05, fused_heads=False,
+                    select_group=2):
     """Synchronous per-dispatch latency (VERDICT.md round-2 item 9).
 
     Each sample is one full uint8→NMS dispatch, synced by fetching the
@@ -211,11 +212,14 @@ def measure_latency(graph, params, size, batches=(1, 8, 32), n=20,
     import jax
     import jax.numpy as jnp
 
-    from yolov3_tpu.model import forward_packed
+    from yolov3_tpu.model import (forward_packed, forward_packed_fused,
+                                  fused_heads_eligible)
     from yolov3_tpu.ops.nms import batched_nms_packed
     from yolov3_tpu.ops.preprocess import preprocess
 
     net_hw = (size, size)
+    fwd = (forward_packed_fused
+           if fused_heads and fused_heads_eligible(graph) else forward_packed)
 
     @jax.jit
     def null(x):
@@ -240,10 +244,11 @@ def measure_latency(graph, params, size, batches=(1, 8, 32), n=20,
         @jax.jit
         def run(params, frames_u8):
             x = preprocess(frames_u8[..., ::-1], net_hw)
-            payload, scores = forward_packed(graph, params, x,
-                                             prob_thresh=prob_thresh,
-                                             precision=precision)
-            res = batched_nms_packed(payload, scores)
+            payload, scores = fwd(graph, params, x,
+                                  prob_thresh=prob_thresh,
+                                  precision=precision)
+            res = batched_nms_packed(payload, scores,
+                                     select_group=select_group)
             return jnp.sum(res.scores), jnp.sum(res.valid)
 
         rng = np.random.default_rng(7)
@@ -372,6 +377,11 @@ def main():
                          "30 min); 0 disables")
     args = ap.parse_args()
 
+    if args.select_group < 2:
+        # fail at argparse time, not minutes later inside a jitted trace
+        # (ops/nms.py's group assert is also stripped under python -O)
+        ap.error(f"--select-group must be >= 2 (got {args.select_group})")
+
     global _T0
     _T0 = time.perf_counter()
 
@@ -465,12 +475,31 @@ def _run(args):
                           for n, v in p.items()} for k, p in params.items()}
 
     if args.latency:
+        import sys
+
         lat_size = args.size or 608
         lat_prec = args.precision if args.precision in ("bf16",
                                                         "highest") else "bf16"
+        # knob provenance (CLAUDE.md): a latency row must measure and
+        # record the knobs it was asked for, not silently drop them
+        if args.scan is not None and args.scan > 1:
+            print("warning: --scan ignored in --latency mode (each sample "
+                  "is ONE synchronous dispatch by definition)",
+                  file=sys.stderr)
+        lat_fused = False
+        if args.fused_heads:
+            from yolov3_tpu.model import fused_heads_eligible
+
+            lat_fused = fused_heads_eligible(graph)
+            if not lat_fused:
+                print(f"warning: --fused-heads requested but {graph.name} "
+                      f"is not eligible; latency rows measure the UNFUSED "
+                      f"path", file=sys.stderr)
         rtt_p50, lrows = measure_latency(graph, params, lat_size,
-                                         precision=lat_prec)
-        print(json.dumps({
+                                         precision=lat_prec,
+                                         fused_heads=lat_fused,
+                                         select_group=args.select_group)
+        out = {
             "metric": f"latency p50 {graph.name}@{lat_size} batch1 "
                       f"{lat_prec} e2e inference",
             "value": lrows["b1"]["p50_ms"],
@@ -478,7 +507,12 @@ def _run(args):
             "vs_baseline": lrows["b1"]["chip_ms_est"],
             "relay_rtt_p50_ms": round(rtt_p50, 2),
             "rows": lrows,
-        }))
+        }
+        if args.fused_heads:
+            out["fused_heads"] = lat_fused
+        if args.select_group != 2:
+            out["select_group"] = args.select_group
+        print(json.dumps(out))
         return
 
     def scan_for(size):

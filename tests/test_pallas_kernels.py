@@ -251,6 +251,37 @@ def test_pallas_compact_decode_threshold_and_padding():
     assert np.asarray(sc1).shape == (3, 507)
 
 
+def test_packed_decode_variant_kernels_bit_identical():
+    """The documented-negative packed-decode variants — the transpose-free
+    noT kernel and the out_rows back-transposing form — stay bit-identical
+    to the shipped transposing kernel. Both are exported library surface
+    (kept as measured negative results, bench_decode_kernel.py) and must
+    not rot unnoticed (CLAUDE.md: every Pallas kernel needs an
+    interpret-mode test)."""
+    from yolov3_tpu.graph import load_graph
+    from yolov3_tpu.ops.pallas_decode import (decode_packed_head_pallas,
+                                              decode_packed_head_pallas_noT)
+
+    graph = load_graph(os.path.join(MODELS, "yolov3-tiny.cfg"))
+    an = graph.yolo_nodes[0].anchors
+    st = list(graph.head_strides())[0]
+    rng = np.random.default_rng(11)
+    # 13x13 grid, batch 3 -> 507 rows: exercises the row-tile padding path
+    # of every variant; nonzero head_offset pins the candidate-index lane
+    f = jnp.asarray(rng.normal(0, 2, (3, 13, 13, 255)), jnp.float32)
+    p0, s0 = decode_packed_head_pallas(f, an, st, 80, prob_thresh=0.25,
+                                       head_offset=100, interpret=True)
+    p1, s1 = decode_packed_head_pallas(f, an, st, 80, prob_thresh=0.25,
+                                       head_offset=100, out_rows=True,
+                                       interpret=True)
+    p2, s2 = decode_packed_head_pallas_noT(f, an, st, 80, prob_thresh=0.25,
+                                           head_offset=100, interpret=True)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s2))
+
+
 def test_pallas_compact_decode_e2e_same_detections(cfg_paths):
     """Full pipeline detection sets identical under decode_impl xla/pallas."""
     from yolov3_tpu.inference import Detector

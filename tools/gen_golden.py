@@ -50,6 +50,11 @@ def main():
 
     scores = np.sort(np.asarray(sc[0], np.float64))[::-1]
     band = scores[(scores > 0.2) & (scores < 0.5)]
+    if len(band) < 2:
+        raise SystemExit(
+            f"no usable threshold band: {len(band)} candidate score(s) in "
+            f"(0.2, 0.5) — a gap-maximizing threshold needs at least two; "
+            f"adjust SEED or the band bounds")
     gaps = band[:-1] - band[1:]
     i = int(np.argmax(gaps))
     prob_thresh = float((band[i] + band[i + 1]) / 2)

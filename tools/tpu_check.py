@@ -187,6 +187,36 @@ def _packed_paths_close(p0, s0, p1, s1, prob_thresh, score_atol,
                 "idx_ok": idx_ok, "boxes_ok": boxes_ok}
 
 
+def check_packed_decode_variants():
+    """Documented-negative packed-decode forms compiled on chip: the
+    out_rows back-transposing form and the transpose-free noT kernel must
+    stay bit-identical to the shipped transposing kernel (they are exported
+    surface; bench_decode_kernel.py measures them, this gates them)."""
+    from yolov3_tpu.graph import load_graph
+    from yolov3_tpu.ops.pallas_decode import (decode_packed_head_pallas,
+                                              decode_packed_head_pallas_noT)
+
+    repo = Path(__file__).parent.parent
+    g = load_graph(repo / "models" / "yolov3-tiny.cfg")
+    an = g.yolo_nodes[0].anchors
+    st = list(g.head_strides())[0]
+    rng = np.random.default_rng(11)
+    f = jnp.asarray(rng.normal(0, 2, (3, 13, 13, 255)), jnp.float32)
+    p0, s0 = jax.jit(lambda x: decode_packed_head_pallas(
+        x, an, st, 80, prob_thresh=0.25, head_offset=100))(f)
+    p1, s1 = jax.jit(lambda x: decode_packed_head_pallas(
+        x, an, st, 80, prob_thresh=0.25, head_offset=100, out_rows=True))(f)
+    p2, s2 = jax.jit(lambda x: decode_packed_head_pallas_noT(
+        x, an, st, 80, prob_thresh=0.25, head_offset=100))(f)
+    ok = (np.array_equal(np.asarray(p0), np.asarray(p1))
+          and np.array_equal(np.asarray(s0), np.asarray(s1))
+          and np.array_equal(np.asarray(p0), np.asarray(p2))
+          and np.array_equal(np.asarray(s0), np.asarray(s2)))
+    print(f"packed decode variants compiled: out_rows + noT bit-identical: "
+          f"{ok}")
+    assert ok, "packed decode variant diverges on TPU"
+
+
 def check_fused_head_decode():
     """Head-conv-fused packed decode on chip: candidate-level equivalence
     with the unfused packed path at fp32 `highest` (position-aligned,
@@ -312,6 +342,7 @@ def main():
     check_nms()
     check_pairmax_select()
     check_packed_decode()
+    check_packed_decode_variants()
     check_fused_head_decode()
     check_conv()
     check_e2e_pipeline()

@@ -198,6 +198,9 @@ class Detector:
             if self.net.quantized:  # quantized AFTER construction
                 raise ValueError("int8 + spatial partitioning is out of "
                                  "scope (parallel/spatial.py)")
+            if conv_impl != "xla":
+                log.warning("spatial partitioning does not support "
+                            "conv_impl=%r; convs run via XLA", conv_impl)
             run = spatial_pipeline(graph, self.mesh, net_hw=net_hw,
                                    prob_thresh=prob, iou_thresh=iou,
                                    top_k=top_k, mode=mode,
