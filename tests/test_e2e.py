@@ -224,6 +224,26 @@ def test_detector_jit_cache_reuse(tiny_weights, cfg_paths):
     assert len(det._pipelines) == 2
 
 
+def test_detector_empty_and_extreme_inputs(tiny_weights, cfg_paths):
+    """Degenerate inputs are handled, not crashed on: empty batch/list →
+    [] (previously a ZeroDivisionError / an opaque C++-loader rc=-1), and
+    1-pixel / extreme-aspect frames letterbox without error."""
+    from yolov3_tpu.inference import Detector, PipelinedDetector
+    from yolov3_tpu.model import Darknet
+
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(tiny_weights)
+    det = Detector(net, prob_thresh=0.3, net_hw=(160, 160))
+    assert det.detect_batch(np.zeros((0, 160, 160, 3), np.uint8)) == []
+    assert det.detect_mixed([]) == []
+    assert PipelinedDetector(det).submit(
+        np.zeros((0, 160, 160, 3), np.uint8)) == []
+    rng = np.random.default_rng(0)
+    extreme = [rng.integers(0, 256, (1, 1, 3), dtype=np.uint8),
+               rng.integers(0, 256, (2, 600, 3), dtype=np.uint8),
+               rng.integers(0, 256, (600, 2, 3), dtype=np.uint8)]
+    assert len(det.detect_mixed(extreme)) == 3
+
+
 def test_detect_mixed_matches_detect_batch(tiny_weights, cfg_paths):
     """Host-native mixed-shape path ≈ pure-device path (±1 LSB resize)."""
     from yolov3_tpu import native

@@ -455,6 +455,8 @@ class Detector:
         frames = np.ascontiguousarray(frames)
         if frames.ndim == 3:
             frames = frames[None]
+        if frames.shape[0] == 0:
+            return []
         h, w = frames.shape[1:3]
         device_frames, b, n_real = self._stage_batch(frames)
         res = self._pipeline(b, (h, w))(self.net.params, device_frames)
@@ -470,6 +472,9 @@ class Detector:
         unavailable.
         """
         from . import native
+
+        if len(frames) == 0:
+            return []
 
         if not native.available():
             # group same-shape frames into real batches (order preserved):
@@ -550,6 +555,8 @@ class PipelinedDetector:
         frames = np.ascontiguousarray(frames)
         if frames.ndim == 3:
             frames = frames[None]
+        if frames.shape[0] == 0:
+            return []
         h, w = frames.shape[1:3]
         device_frames, b, n_real = self.detector._stage_batch(frames)
         run = self.detector._pipeline(b, (h, w))
