@@ -242,6 +242,18 @@ def test_detector_empty_and_extreme_inputs(tiny_weights, cfg_paths):
                rng.integers(0, 256, (2, 600, 3), dtype=np.uint8),
                rng.integers(0, 256, (600, 2, 3), dtype=np.uint8)]
     assert len(det.detect_mixed(extreme)) == 3
+    # float frames would be silently truncated to uint8 (all-zero images,
+    # garbage detections) — the contract is raw uint8; fail loudly
+    with pytest.raises(TypeError, match="uint8"):
+        det.detect_batch(np.zeros((1, 160, 160, 3), np.float32))
+    with pytest.raises(TypeError, match="uint8"):
+        det.detect_mixed([np.zeros((160, 160, 3), np.float32)])
+    # degenerate construction / calibration fail at the call site, not
+    # minutes later inside a jitted trace (or silently)
+    with pytest.raises(ValueError, match="top_k"):
+        Detector(net, top_k=0)
+    with pytest.raises(ValueError, match="calibration"):
+        net.quantize_int8([])
 
 
 def test_detect_mixed_matches_detect_batch(tiny_weights, cfg_paths):

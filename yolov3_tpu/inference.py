@@ -65,6 +65,10 @@ class Detector:
         self.iou_thresh = float(iou_thresh)
         self.resize_mode = resize_mode
         self.top_k = int(top_k)
+        if self.top_k < 1:
+            # a zero-candidate NMS working set fails minutes later inside a
+            # jitted slice with an opaque shape error
+            raise ValueError(f"top_k must be >= 1, got {top_k}")
         self.bgr = bgr
         self.nms_impl = nms_impl
         # fused Pallas compact-decode is the serving default: consumes the
@@ -405,6 +409,13 @@ class Detector:
         a multiple of scan and stage as a (scan, B/scan, ...) stack (the
         scanned program merges results back, so callers still index by the
         original order). Returns (device_frames, per_step_batch, real_batch)."""
+        if frames.dtype != np.uint8:
+            # the pipeline contract is uint8 frames (the on-device
+            # preprocess divides by 255); a float frame would be silently
+            # truncated to uint8 first — all-zero images, garbage results
+            raise TypeError(f"frames must be uint8 (got {frames.dtype}); "
+                            f"pass raw cv2/camera frames, not normalized "
+                            f"floats")
         b = frames.shape[0]
         n_real = b
         if self.scan > 1:
@@ -475,6 +486,11 @@ class Detector:
 
         if len(frames) == 0:
             return []
+        for f in frames:
+            if np.asarray(f).dtype != np.uint8:
+                raise TypeError(f"frames must be uint8 (got "
+                                f"{np.asarray(f).dtype}); pass raw "
+                                f"cv2/camera frames, not normalized floats")
 
         if not native.available():
             # group same-shape frames into real batches (order preserved):

@@ -394,6 +394,12 @@ class Darknet:
         if self.params is None:
             raise RuntimeError("load_weights() before quantize_int8()")
         net_hw = tuple(net_hw) if net_hw else self.net_size
+        if len(calibration_frames) == 0:
+            # an empty calibration set would quietly produce an empty/garbage
+            # scale dict that breaks every subsequent detect with a KeyError
+            # — and, worse, could silently destroy accuracy if it didn't
+            raise ValueError("quantize_int8 needs at least one calibration "
+                             "frame (a few dozen representative images)")
         if isinstance(calibration_frames, (list, tuple)):
             # variable-size calibration images: preprocess each individually
             batches = [preprocess(jnp.asarray(np.ascontiguousarray(f))[None],
