@@ -254,6 +254,15 @@ def test_detector_empty_and_extreme_inputs(tiny_weights, cfg_paths):
         Detector(net, top_k=0)
     with pytest.raises(ValueError, match="calibration"):
         net.quantize_int8([])
+    # non-multiple-of-stride resolutions fail deep in the traced route
+    # concat otherwise; darknet has the same /32 constraint
+    with pytest.raises(ValueError, match="max stride"):
+        Detector(net, net_hw=(100, 100))
+    Detector(net, net_hw=(160, 96))  # non-square but /32: valid
+    with pytest.raises(ValueError, match="iou_thresh"):
+        Detector(net, iou_thresh=-0.5)
+    with pytest.raises(ValueError, match="prob_thresh"):
+        Detector(net, prob_thresh=2.0)
 
 
 def test_detect_mixed_matches_detect_batch(tiny_weights, cfg_paths):

@@ -99,6 +99,20 @@ class Detector:
             # latency mode — the combination has no use case
             raise ValueError("scan > 1 requires partition='data' on a mesh")
         self.net_hw = tuple(net_hw) if net_hw else net.net_size
+        max_stride = max(net.graph.head_strides())
+        if any(v <= 0 or v % max_stride for v in self.net_hw):
+            # a non-multiple resolution fails deep in the traced route
+            # concat with an opaque shape error (grid sizes round
+            # differently per stride); darknet has the same constraint
+            raise ValueError(f"net_hw {self.net_hw} must be positive "
+                             f"multiples of the net's max stride "
+                             f"({max_stride})")
+        if not 0.0 <= self.prob_thresh < 1.0:
+            raise ValueError(f"prob_thresh must be in [0, 1), got "
+                             f"{prob_thresh}")
+        if not 0.0 <= self.iou_thresh <= 1.0:
+            raise ValueError(f"iou_thresh must be in [0, 1], got "
+                             f"{iou_thresh}")
         # multi-chip: partition="data" is batch-DP (throughput — params
         # replicate once, batches shard on their leading axis, zero
         # steady-state collectives; SURVEY.md §2.15); partition="spatial"
