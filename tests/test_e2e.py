@@ -154,6 +154,16 @@ def test_cli_rejects_multiple_sources(tiny_weights, sample_images, cfg_paths):
               "--config", cfg_paths["yolov3-tiny"], "--weights", tiny_weights])
 
 
+def test_cli_bad_net_size_one_line_error(tiny_weights, sample_images,
+                                         cfg_paths):
+    """A --net-size that isn't a stride multiple is a user error: one-line
+    SystemExit, not a ValueError traceback from inside Detector."""
+    with pytest.raises(SystemExit, match="max stride"):
+        _cli(["--image", sample_images[1][0],
+              "--config", cfg_paths["yolov3-tiny"],
+              "--weights", tiny_weights, "--net-size", "100", "--no-show"])
+
+
 def test_cli_missing_weights_file(sample_images, cfg_paths):
     with pytest.raises(FileNotFoundError):
         _cli(["--image", sample_images[1][0],

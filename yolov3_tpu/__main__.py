@@ -200,14 +200,19 @@ def main(argv=None) -> int:
         except ValueError as e:
             raise SystemExit(f"--spatial {args.spatial}: {e}")
         partition = "spatial"
-    detector = Detector(net, prob_thresh=args.prob_thresh,
-                        iou_thresh=args.iou_thresh,
-                        resize_mode=args.resize_mode, top_k=args.top_k,
-                        net_hw=net_hw, nms_impl=args.nms_impl,
-                        decode_impl=args.decode_impl,
-                        max_results=args.max_results, scan=args.scan,
-                        mesh=mesh, partition=partition,
-                        select_group=args.select_group)
+    try:
+        detector = Detector(net, prob_thresh=args.prob_thresh,
+                            iou_thresh=args.iou_thresh,
+                            resize_mode=args.resize_mode, top_k=args.top_k,
+                            net_hw=net_hw, nms_impl=args.nms_impl,
+                            decode_impl=args.decode_impl,
+                            max_results=args.max_results, scan=args.scan,
+                            mesh=mesh, partition=partition,
+                            select_group=args.select_group)
+    except ValueError as e:
+        # bad knob values (net size not a stride multiple, thresholds out
+        # of range, ...) are user errors: one line, not a traceback
+        raise SystemExit(f"error: {e}")
     class_names = (load_class_names(args.class_names)
                    if Path(args.class_names).exists() else None)
 
