@@ -123,6 +123,20 @@ def test_unknown_path_404(server):
     assert status == 404
 
 
+def test_serve_cli_bad_net_size(tmp_path, cfg_paths):
+    """serve's CLI reports bad knob values as a one-line SystemExit (same
+    convention as the main CLI), not a ValueError traceback."""
+    from yolov3_tpu.serve import main
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=32))
+    with pytest.raises(SystemExit, match="max stride"):
+        main(["--weights", str(wpath),
+              "--config", str(cfg_paths["yolov3-tiny"]),
+              "--net-size", "100"])
+
+
 @pytest.fixture(scope="module")
 def batched_server(tmp_path_factory, cfg_paths):
     from yolov3_tpu.inference import Detector

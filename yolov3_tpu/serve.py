@@ -468,10 +468,13 @@ def main(argv=None):
         from .parallel.sharding import make_mesh
 
         mesh = make_mesh(args.devices)
-    detector = Detector(net, prob_thresh=args.prob_thresh,
-                        iou_thresh=args.iou_thresh, net_hw=net_hw,
-                        decode_impl=args.decode_impl, mesh=mesh,
-                        select_group=args.select_group)
+    try:
+        detector = Detector(net, prob_thresh=args.prob_thresh,
+                            iou_thresh=args.iou_thresh, net_hw=net_hw,
+                            decode_impl=args.decode_impl, mesh=mesh,
+                            select_group=args.select_group)
+    except ValueError as e:
+        raise SystemExit(f"error: {e}")  # user error: one line, no traceback
     names = (load_class_names(args.class_names)
              if Path(args.class_names).exists() else None)
     warmup = (None if args.warmup_hw == "none"
