@@ -154,6 +154,26 @@ def test_cli_rejects_multiple_sources(tiny_weights, sample_images, cfg_paths):
               "--config", cfg_paths["yolov3-tiny"], "--weights", tiny_weights])
 
 
+def test_cli_unknown_device_one_line_error(tiny_weights, sample_images,
+                                           cfg_paths):
+    """--device with an unknown platform exits with one line (and must not
+    initialize other platforms first — `cpu:0` on the axon-latched host
+    used to init/hang on the relay before ever picking CPU)."""
+    import jax
+
+    before = jax.config.jax_platforms
+    try:
+        with pytest.raises(SystemExit, match="--device"):
+            _cli(["--image", sample_images[1][0],
+                  "--config", cfg_paths["yolov3-tiny"],
+                  "--weights", tiny_weights, "--device", "nosuch:0",
+                  "--no-show"])
+    finally:
+        # the CLI pins jax_platforms before failing; restore for the rest
+        # of the in-process suite
+        jax.config.update("jax_platforms", before)
+
+
 def test_cli_bad_net_size_one_line_error(tiny_weights, sample_images,
                                          cfg_paths):
     """A --net-size that isn't a stride multiple is a user error: one-line

@@ -146,8 +146,16 @@ def main(argv=None) -> int:
 
     if args.device:
         kind, _, idx = args.device.partition(":")
-        jax.config.update("jax_default_device",
-                          jax.devices(kind)[int(idx or 0)])
+        # pin the PLATFORM before any backend init: `--device cpu:0` must
+        # not initialize (or hang on) the TPU plugin the environment
+        # defaults to — jax.devices(kind) alone initializes every
+        # configured platform first
+        try:
+            jax.config.update("jax_platforms", kind)
+            jax.config.update("jax_default_device",
+                              jax.devices(kind)[int(idx or 0)])
+        except (RuntimeError, IndexError, ValueError) as e:
+            raise SystemExit(f"--device {args.device}: {e}")
 
     from .inference import (Detector, detect_directory, detect_image,
                             detect_in_cam, detect_in_video)
