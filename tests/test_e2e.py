@@ -284,6 +284,8 @@ def test_detector_empty_and_extreme_inputs(tiny_weights, cfg_paths):
         Detector(net, top_k=0)
     with pytest.raises(ValueError, match="calibration"):
         net.quantize_int8([])
+    with pytest.raises(TypeError, match="uint8"):
+        net.quantize_int8([np.zeros((160, 160, 3), np.float32)])
     # non-multiple-of-stride resolutions fail deep in the traced route
     # concat otherwise; darknet has the same /32 constraint
     with pytest.raises(ValueError, match="max stride"):

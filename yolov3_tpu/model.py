@@ -400,13 +400,23 @@ class Darknet:
             # — and, worse, could silently destroy accuracy if it didn't
             raise ValueError("quantize_int8 needs at least one calibration "
                              "frame (a few dozen representative images)")
+        def _u8(f):
+            # same contract as the detect entry points: a float frame would
+            # be silently truncated to uint8 (all-zero image) and the
+            # resulting scales would quietly destroy accuracy
+            a = np.ascontiguousarray(f)
+            if a.dtype != np.uint8:
+                raise TypeError(f"calibration frames must be uint8 (got "
+                                f"{a.dtype}); pass raw cv2/camera frames")
+            return a
+
         if isinstance(calibration_frames, (list, tuple)):
             # variable-size calibration images: preprocess each individually
-            batches = [preprocess(jnp.asarray(np.ascontiguousarray(f))[None],
-                                  net_hw, mode=mode)
+            batches = [preprocess(jnp.asarray(_u8(f))[None], net_hw,
+                                  mode=mode)
                        for f in calibration_frames]
         else:
-            frames = jnp.asarray(calibration_frames)
+            frames = jnp.asarray(_u8(calibration_frames))
             batches = [preprocess(frames[i:i + 8], net_hw, mode=mode)
                        for i in range(0, frames.shape[0], 8)]
         if carrier == "int8":
