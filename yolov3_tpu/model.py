@@ -342,7 +342,7 @@ def forward_packed_fused(
     return decode_packed_fused_pallas(
         pre, ws, bs, [n.anchors for n in yolo_nodes],
         list(graph.head_strides()), yolo_nodes[0].classes,
-        prob_thresh=prob_thresh)
+        prob_thresh=prob_thresh, precision=precision)
 
 
 class Darknet:

@@ -18,7 +18,7 @@ interpret mode on CPU and compiled on TPU.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -309,10 +309,19 @@ def _decode_packed_kernel_noT(f_ref, proj_ref, o_ref, *, gx, gy, n_rows,
     col = (cell % gx).astype(jnp.float32)
     row = (cell // gx).astype(jnp.float32)
 
-    # [tx,ty,tw,th,obj] per anchor → lanes 8ai+0..4 (one exact MXU dot)
+    # [tx,ty,tw,th,obj] per anchor → lanes 8ai+0..4 (one exact MXU dot).
+    # precision=HIGHEST is required for exactness on f32 inputs: Mosaic's
+    # default lowers the dot through ONE bf16 pass, which truncates the
+    # input mantissa (caught compiled on-chip by tools/tpu_check.py's
+    # variant gate — interpret mode computes the dot exactly and hid it).
+    # HIGHEST decomposes each f32 operand into bf16 limbs, and a one-hot
+    # row picks up every limb of exactly one element with f32
+    # accumulation, so the input bits survive; bf16 inputs are exact in
+    # a single pass either way.
     sel = jax.lax.dot_general(
         f, proj_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)      # (rows, 32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)     # (rows, 32)
 
     lane32 = jax.lax.broadcasted_iota(jnp.int32, (rows, 32), 1)
     k32 = lane32 % 8
@@ -465,7 +474,8 @@ def _payload_from_cols(out, b, gy, gx, a, n_rows):
 
 def _decode_packed_fused_kernel(x_ref, w_ref, b_ref, o_ref, *, gx, gy,
                                 n_rows, rows_tile, anchors, stride,
-                                num_classes, prob_thresh, head_offset):
+                                num_classes, prob_thresh, head_offset,
+                                dot_precision):
     """Head-conv-FUSED packed decode (round 3).
 
     Consumes the PRE-head activation tile (rows, Cin) and the head conv's
@@ -479,7 +489,8 @@ def _decode_packed_fused_kernel(x_ref, w_ref, b_ref, o_ref, *, gx, gy,
     """
     acc = jax.lax.dot_general(
         x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)        # (rows, C_pad) f32
+        preferred_element_type=jnp.float32,
+        precision=dot_precision)                   # (rows, C_pad) f32
     acc = acc + b_ref[0:1, :].astype(jnp.float32)  # head conv bias (no BN)
     ft = acc.T                                     # channel = sublane
     o_ref[:] = _decode_ft_records(
@@ -507,6 +518,7 @@ def decode_packed_head_fused_pallas(
     prob_thresh: float = 0.0,
     head_offset: int = 0,
     interpret: bool = False,
+    precision: Optional[str] = None,
 ):
     """Packed decode of one head FUSED with its 1×1 head conv.
 
@@ -552,11 +564,19 @@ def decode_packed_head_fused_pallas(
     bias_blk = jnp.zeros((8, c_pad), jnp.float32).at[0].set(
         bias.astype(jnp.float32))
 
+    # the in-kernel projection matches the unfused path's conv numerics:
+    # default precision for the bf16 serving tiers (one MXU pass, same as
+    # the XLA bf16 conv), HIGHEST for fp32 parity runs (Mosaic's default
+    # on f32 operands is a single truncating bf16 pass — far below the
+    # fp32-`highest` conv the unfused comparison path runs)
+    dot_precision = (jax.lax.Precision.HIGHEST
+                     if precision == "highest" else None)
     kernel = partial(_decode_packed_fused_kernel, gx=gx, gy=gy,
                      n_rows=n_rows, rows_tile=rows_tile,
                      anchors=tuple(anchors), stride=stride,
                      num_classes=num_classes, prob_thresh=float(prob_thresh),
-                     head_offset=int(head_offset))
+                     head_offset=int(head_offset),
+                     dot_precision=dot_precision)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((32, n_rows_pad), jnp.float32),
@@ -586,6 +606,7 @@ def decode_packed_fused_pallas(
     num_classes: int,
     prob_thresh: float = 0.0,
     interpret: bool = False,
+    precision: Optional[str] = None,
 ):
     """Head-fused packed decode of every head → (payload (B, N, 8), scores
     (B, N)); candidate order identical to :func:`decode_packed_pallas`."""
@@ -595,7 +616,7 @@ def decode_packed_fused_pallas(
                                 anchors_per_head, strides):
         parts.append(decode_packed_head_fused_pallas(
             x, w, bias, a, s, num_classes, prob_thresh=prob_thresh,
-            head_offset=off, interpret=interpret))
+            head_offset=off, interpret=interpret, precision=precision))
         off += len(a) * x.shape[1] * x.shape[2]
     payload = jnp.concatenate([p[0] for p in parts], axis=1)
     scores = jnp.concatenate([p[1] for p in parts], axis=1)
