@@ -140,13 +140,15 @@ def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
 
 def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
                      quantize_heads=False, quantize_stem=False, scan=1,
-                     fused_heads=False, select_group=2):
+                     fused_heads=False, select_group=2, block_impl="xla"):
     """int8 PTQ path (calibrated on random frames — throughput-only here;
     accuracy calibration uses real images via Darknet.quantize_int8).
     ``quantize_heads`` also int8s the no-BN head projections (round 3;
     parity gates in tests/test_quant.py::test_head_quantization_*);
     ``quantize_stem`` int8s the Cin=3 stem via the exact-u8 input scheme
-    (tests/test_quant.py::test_stem_*)."""
+    (tests/test_quant.py::test_stem_*); ``block_impl="pallas"`` runs the
+    residual blocks through the fused VMEM-resident kernel (round 4,
+    ops/pallas_block.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -175,7 +177,7 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
         x = preprocess(frames_u8[..., ::-1], net_hw)
         payload, scores = fwd_q(
             graph, qparams, scales, x, prob_thresh=prob_thresh,
-            precision="bf16", carrier="int8")
+            precision="bf16", carrier="int8", block_impl=block_impl)
         res = batched_nms_packed(payload, scores, select_group=select_group)
         return jnp.sum(res.scores), jnp.sum(res.valid)
 
@@ -351,6 +353,13 @@ def main():
                     help="quantize the Cin=3 stem conv too on the int8 rows "
                          "(exact-u8 input scheme, quant.eligible "
                          "include_stem)")
+    ap.add_argument("--fuse-blocks", action="store_true",
+                    help="run the darknet53 residual blocks through the "
+                         "fused VMEM-resident int8 kernel on the int8 rows "
+                         "(ops/pallas_block.py; block_impl='pallas')")
+    ap.add_argument("--no-variants", action="store_true",
+                    help="skip the tiny@416/320/spp variant rows in the "
+                         "default run")
     ap.add_argument("--fused-heads", action="store_true",
                     help="run the 1x1 head convs inside the Pallas decode "
                          "kernel (decode_impl='pallas-fused'; the head maps "
@@ -536,11 +545,13 @@ def _run(args):
             # count so the pre-staged input footprint stays constant
             iters = max(2, round(iters / scan))
         if prec == "int8":
+            blocks_impl = "pallas" if args.fuse_blocks else "xla"
             return measure_tpu_int8(graph, prms, frames, iters,
                                     quantize_heads=args.int8_heads,
                                     quantize_stem=args.int8_stem,
                                     scan=scan, fused_heads=fused,
-                                    select_group=args.select_group)
+                                    select_group=args.select_group,
+                                    block_impl=blocks_impl)
         return measure_tpu(graph, prms, frames, iters, precision=prec,
                            scan=scan, fused_heads=fused,
                            select_group=args.select_group)
@@ -568,6 +579,8 @@ def _run(args):
     def knob_fields(row):
         if args.fused_heads:
             row["fused_heads"] = fused_active
+        if args.fuse_blocks:
+            row["fuse_blocks"] = True
         if args.select_group != 2:
             row["select_group"] = args.select_group
         return row
@@ -612,6 +625,91 @@ def _run(args):
                 "scan": scan_for(size),
                 "vs_baseline": round(ips / base["img_s"], 2),
             })
+
+    # Opportunistic fused-block row (round 4, VERDICT item 1): the fused
+    # int8 residual-block kernel's e2e delta, measured in the driver's own
+    # run. Crash-guarded like the fused-head rows below.
+    if (precision == "bf16" and args.size is None and not args.quick
+            and not args.fuse_blocks):
+        elapsed = time.perf_counter() - _T0
+        if args.deadline <= 0 or elapsed < args.deadline * 0.6:
+            base = torch_baseline(graph, raw, 608, batch=min(args.batch, 4),
+                                  iters=torch_iters)
+            key = f"{graph.name}@608 batch{args.batch} int8 fuse-blocks"
+            try:
+                frames = np.random.default_rng(1).integers(
+                    0, 256, (args.batch, 608, 608, 3), dtype=np.uint8)
+                iters = max(2, round(args.iters / scan_for(608)))
+                ips, blocks = measure_tpu_int8(
+                    graph, params, frames, iters,
+                    quantize_heads=args.int8_heads,
+                    quantize_stem=args.int8_stem, scan=scan_for(608),
+                    select_group=args.select_group, block_impl="pallas")
+                rows[key] = {
+                    "img_s": round(ips, 2),
+                    "blocks": [round(b, 2) for b in blocks],
+                    "scan": scan_for(608),
+                    "vs_baseline": round(ips / base["img_s"], 2),
+                    "fuse_blocks": True,
+                }
+            except Exception as e:  # never cost the headline
+                rows[key] = {"error": f"{type(e).__name__}: {e}"[:300],
+                             "fuse_blocks": True}
+
+    # Variant rows (round 4, VERDICT item 4): the tiny/320/spp numbers that
+    # evidence the scanned-dispatch story, captured in the driver's own run
+    # instead of only builder-run BASELINE.md tables. Budget-gated so a slow
+    # run cannot push the whole bench past the deadline watchdog.
+    if (precision == "bf16" and args.size is None and not args.quick
+            and args.cfg == "yolov3.cfg" and not args.no_variants):
+        variants = [("yolov3-tiny.cfg", 416, ("bf16", "int8")),
+                    ("yolov3.cfg", 320, ("bf16",)),
+                    ("yolov3-spp.cfg", 608, ("bf16", "int8"))]
+        for vcfg, vsize, vprecs in variants:
+            elapsed = time.perf_counter() - _T0
+            if args.deadline > 0 and elapsed > args.deadline * 0.75:
+                rows[f"variants-skipped {vcfg}@{vsize}"] = {
+                    "error": "deadline budget exhausted"}
+                continue
+            vgraph = load_graph(REPO / "models" / vcfg)
+            vraw = random_raw(vgraph, seed=0)
+            vpa = 5 + vgraph.yolo_nodes[0].classes
+            for node in vgraph.conv_nodes:
+                if not node.batch_normalize:
+                    vraw[node.index]["bias"][4::vpa] = -6.0
+            vparams = fold_raw(vraw)
+            vbase = torch_baseline(vgraph, vraw, vsize,
+                                   batch=min(args.batch, 4),
+                                   iters=torch_iters)
+            frames = np.random.default_rng(1).integers(
+                0, 256, (args.batch, vsize, vsize, 3), dtype=np.uint8)
+            vscan = scan_for(vsize)
+            viters = max(2, round(args.iters * max(1, round(
+                (608 / vsize) ** 2)) / vscan))
+            for vprec in vprecs:
+                key = f"{vgraph.name}@{vsize} batch{args.batch} {vprec}"
+                try:
+                    if vprec == "int8":
+                        ips, blocks = measure_tpu_int8(
+                            vgraph, vparams, frames, viters, scan=vscan,
+                            select_group=args.select_group)
+                    else:
+                        import jax.numpy as jnp
+
+                        vrun = {k: {n: np.asarray(v, dtype=jnp.bfloat16)
+                                    for n, v in pp.items()}
+                                for k, pp in vparams.items()}
+                        ips, blocks = measure_tpu(
+                            vgraph, vrun, frames, viters, precision="bf16",
+                            scan=vscan, select_group=args.select_group)
+                    rows[key] = {
+                        "img_s": round(ips, 2),
+                        "blocks": [round(b, 2) for b in blocks],
+                        "scan": vscan,
+                        "vs_baseline": round(ips / vbase["img_s"], 2),
+                    }
+                except Exception as e:  # never cost the headline
+                    rows[key] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     # Opportunistic fused-head rows (the round-3 open question): the fused
     # decode (decode_impl="pallas-fused") was built during a relay outage

@@ -121,6 +121,36 @@ def test_cli_video_pipeline_depth(tiny_weights, cfg_paths, tmp_path, capsys):
     cap.release()
 
 
+def test_cli_video_scan(tiny_weights, cfg_paths, tmp_path, capsys):
+    """--scan on the VIDEO path (round-3 verdict item 6): detect_in_video
+    routes through Detector._stage_batch/_pipeline, so a scan-configured
+    detector stacks each frame batch as (scan, B/scan, ...) and runs it as
+    one multi-step dispatch — every frame must still come back, in order,
+    including the padded final batch."""
+    import cv2
+
+    src = tmp_path / "in.avi"
+    w = cv2.VideoWriter(str(src), cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                        (320, 240))
+    rng = np.random.default_rng(3)
+    for _ in range(7):
+        w.write(rng.integers(0, 256, (240, 320, 3), dtype=np.uint8))
+    w.release()
+
+    out = tmp_path / "out.avi"
+    rc = _cli(["--video", str(src),
+               "--config", cfg_paths["yolov3-tiny"],
+               "--weights", tiny_weights,
+               "--no-show", "--output", str(out),
+               "--frame-batch", "2", "--scan", "2",
+               "--prob-thresh", "0.3"])
+    assert rc == 0
+    assert "processed 7 frames" in capsys.readouterr().out
+    cap = cv2.VideoCapture(str(out))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 7
+    cap.release()
+
+
 def test_cli_profile_flag_writes_trace(tiny_weights, sample_images, cfg_paths,
                                        tmp_path, capsys):
     """--profile captures a jax.profiler trace around the run (SURVEY.md

@@ -272,6 +272,69 @@ def check_fused_head_decode():
     assert ok, f"int8 fused-head decode diverges on TPU: {st}"
 
 
+def check_fused_block():
+    """Fused int8 residual-block kernel (ops/pallas_block.py) compiled on
+    chip vs the unfused int8-carrier walk. Quant-step contract (the kernel
+    mimics every intermediate quantization; divergence is confined to
+    requant ties flipped by accumulation/contraction differences —
+    tests/test_pallas_block.py is the CPU-interpret twin). Runs yolov3@320
+    so both channel configs exercise (cin=128/cmid=64 lane-padded at 80²,
+    cin=256/cmid=128 at 40²)."""
+    from yolov3_tpu.graph import load_graph
+    from yolov3_tpu.ops.nms import batched_nms_packed
+    from yolov3_tpu.ops.pallas_block import fused_block_plan
+    from yolov3_tpu.quant import (calibrate_tensors,
+                                  forward_features_int8_carrier,
+                                  forward_packed_int8, quantize_weights)
+    from yolov3_tpu.weights import fold_raw, random_raw
+
+    repo = Path(__file__).parent.parent
+    g = load_graph(repo / "models" / "yolov3.cfg")
+    params = {k: {n: jnp.asarray(v) for n, v in p.items()}
+              for k, p in fold_raw(random_raw(g, seed=5)).items()}
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 320, 320, 3)).astype(np.float32))
+    scales = calibrate_tensors(g, params, [x], precision="bf16")
+    qparams = quantize_weights(g, params)
+    plan = fused_block_plan(g, qparams, scales)
+    assert plan, "no fusable blocks found in yolov3.cfg"
+
+    # block-output contract at the end of the last fused block: mostly
+    # exactly equal, nothing beyond a few quantization steps (a broken
+    # kernel — wrong taps/masks/scales — diverges by orders of magnitude)
+    last = max(plan) + 3
+    a = jax.jit(lambda q, xx: forward_features_int8_carrier(
+        g, q, scales, xx, "bf16", upto=last,
+        block_impl="xla")[-1])(qparams, x)
+    b = jax.jit(lambda q, xx: forward_features_int8_carrier(
+        g, q, scales, xx, "bf16", upto=last,
+        block_impl="pallas")[-1])(qparams, x)
+    d = np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))
+    s_out = scales[last - 1]
+    ok = (d == 0).mean() >= 0.95 and d.max() <= 10 * s_out
+    print(f"fused block compiled: {len(plan)} blocks planned, out diff "
+          f"frac {(d > 0).mean():.5f}, max {d.max():.4g} "
+          f"(step {s_out:.4g}), ok: {ok}")
+    assert ok, "fused residual block diverges on TPU"
+
+    # e2e serving program: packed decode + NMS with the fused blocks —
+    # candidate-level bars vs the unfused walk (straddler-aware; same
+    # machinery as the fused-head gate)
+    pq0, sq0 = jax.jit(lambda q, xx: forward_packed_int8(
+        g, q, scales, xx, prob_thresh=0.3, precision="bf16",
+        carrier="int8", block_impl="xla"))(qparams, x)
+    pq1, sq1 = jax.jit(lambda q, xx: forward_packed_int8(
+        g, q, scales, xx, prob_thresh=0.3, precision="bf16",
+        carrier="int8", block_impl="pallas"))(qparams, x)
+    ok, st = _packed_paths_close(pq0, sq0, pq1, sq1, prob_thresh=0.3,
+                                 score_atol=1e-3, box_atol=0.75)
+    r = batched_nms_packed(pq1, sq1, iou_thresh=0.4)
+    print(f"fused-block packed path compiled: "
+          f"{int((np.asarray(sq1) > 0).sum())} candidates, match: {ok} {st}, "
+          f"NMS survivors {int(np.asarray(r.valid).sum())}")
+    assert ok, f"fused-block packed path diverges on TPU: {st}"
+
+
 def time_stage(fn, args, iters=5, label=""):
     out = fn(*args)
     jax.tree.map(lambda x: float(jnp.sum(x.astype(jnp.float32))), out)
@@ -344,6 +407,7 @@ def main():
     check_packed_decode()
     check_packed_decode_variants()
     check_fused_head_decode()
+    check_fused_block()
     check_conv()
     check_e2e_pipeline()
     print("OK")

@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "kernel, the measured-fastest serving default; "
                         "pallas-fused additionally runs the 1x1 head convs "
                         "inside the kernel)")
+    p.add_argument("--block-impl", choices=("xla", "pallas"),
+                   default="xla",
+                   help="residual-block backend on the int8 path (pallas = "
+                        "fused VMEM-resident 1x1->3x3->shortcut kernel, "
+                        "ops/pallas_block.py)")
     p.add_argument("--select-group", type=int, default=2,
                    help="group-max selection width G (exact top-k for any "
                         "G; trades the lax.top_k term against the final "
@@ -216,7 +221,8 @@ def main(argv=None) -> int:
                             decode_impl=args.decode_impl,
                             max_results=args.max_results, scan=args.scan,
                             mesh=mesh, partition=partition,
-                            select_group=args.select_group)
+                            select_group=args.select_group,
+                            block_impl=args.block_impl)
     except ValueError as e:
         # bad knob values (net size not a stride multiple, thresholds out
         # of range, ...) are user errors: one line, not a traceback

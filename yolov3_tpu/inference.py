@@ -59,7 +59,8 @@ class Detector:
                  net_hw: Optional[Tuple[int, int]] = None, mesh=None,
                  nms_impl: str = "xla", decode_impl: str = "pallas",
                  max_results: int = 128, scan: int = 1,
-                 partition: str = "data", select_group: int = 2):
+                 partition: str = "data", select_group: int = 2,
+                 block_impl: str = "xla"):
         self.net = net
         self.prob_thresh = float(prob_thresh)
         self.iou_thresh = float(iou_thresh)
@@ -75,6 +76,14 @@ class Detector:
         # heads in their native lane layout (the XLA decode's 85-lane
         # relayout costs ~5 ms/step at 608/b128), bit-exact detection sets
         self.decode_impl = decode_impl
+        # block_impl="pallas": int8-carrier residual blocks run through the
+        # fused VMEM-resident kernel (ops/pallas_block.py — 1×1→3×3→shortcut
+        # in one pass, bit-identical to the unfused walk); no-op on float
+        # and bf16-carrier paths
+        if block_impl not in ("xla", "pallas"):
+            raise ValueError(f"unknown block_impl {block_impl!r} "
+                             "(expected 'xla' or 'pallas')")
+        self.block_impl = block_impl
         # post-NMS output compaction: K=512 slots of NMS working set shrink
         # to the top max_results survivors before leaving the device
         self.max_results = int(max_results)
@@ -184,6 +193,7 @@ class Detector:
         conv_impl = self.net.conv_impl
         nms_impl = self.nms_impl
         select_group = self.select_group
+        block_impl = self.block_impl
         decode_impl = self.decode_impl
         if decode_impl == "pallas-fused":
             # head-conv-fused decode: float paths + the int8-carrier path
@@ -244,7 +254,8 @@ class Detector:
                                          decode_impl=decode_impl,
                                          max_results=max_results,
                                          scan=self.scan,
-                                         select_group=select_group)
+                                         select_group=select_group,
+                                         block_impl=block_impl)
                 qparams = self.net.qparams
                 run = lambda params, frames: run_q(qparams, frames)  # noqa: E731
             else:
@@ -287,7 +298,8 @@ class Detector:
                            else forward_packed_int8)
                     payload, scores = fwd(
                         graph, qparams, act_scales, x, prob_thresh=prob,
-                        precision=precision or "bf16", carrier=carrier)
+                        precision=precision or "bf16", carrier=carrier,
+                        block_impl=block_impl)
                     return batched_nms_packed(payload, scores,
                                               iou_thresh=iou, top_k=top_k,
                                               impl=nms_impl,
@@ -296,7 +308,7 @@ class Detector:
                 boxes, scores, classes = forward_compact_int8(
                     graph, qparams, act_scales, x,
                     precision=precision or "bf16", decode_impl=decode_impl,
-                    carrier=carrier)
+                    carrier=carrier, block_impl=block_impl)
                 return batched_nms_compact(boxes, scores, classes,
                                            prob_thresh=prob, iou_thresh=iou,
                                            top_k=top_k, impl=nms_impl,

@@ -75,7 +75,7 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
                      conv_impl: str = "xla",
                      nms_impl: str = "xla", decode_impl: str = "pallas",
                      max_results: int = 0, scan: int = 1,
-                     select_group: int = 2):
+                     select_group: int = 2, block_impl: str = "xla"):
     """Build the batch-DP end-to-end detect step, jitted over ``mesh``.
 
     Returns ``run(params, frames_u8)``: uint8 (B, H, W, 3) sharded on batch →
@@ -130,7 +130,8 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
                          else forward_packed_int8)
                 payload, scores = fwd_q(
                     graph, params, act_scales, x, prob_thresh=prob_thresh,
-                    precision=precision or "bf16", carrier=carrier)
+                    precision=precision or "bf16", carrier=carrier,
+                    block_impl=block_impl)
             else:
                 from ..model import forward_packed, forward_packed_fused
 
@@ -149,7 +150,8 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
 
             boxes, scores, classes = forward_compact_int8(
                 graph, params, act_scales, x, precision=precision or "bf16",
-                decode_impl=decode_impl, carrier=carrier)
+                decode_impl=decode_impl, carrier=carrier,
+                block_impl=block_impl)
         else:
             boxes, scores, classes = forward_compact(graph, params, x,
                                                      precision=precision,

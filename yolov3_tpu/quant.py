@@ -218,7 +218,8 @@ def forward_features_int8_carrier(
         graph: Graph, qparams, tensor_scales: Dict[int, float], x: jax.Array,
         precision: Optional[str] = "bf16",
         upto: Optional[int] = None,
-        stop_before_heads: bool = False) -> List[jax.Array]:
+        stop_before_heads: bool = False,
+        block_impl: str = "xla") -> List[jax.Array]:
     """int8 graph walk with an **int8 activation carrier** (round 2).
 
     The bf16-carrier walk (:func:`forward_features_int8`) quantizes each
@@ -255,6 +256,17 @@ def forward_features_int8_carrier(
     Callers gate on ``model.fused_heads_eligible``. Quantization decisions
     (q_friendly/want_q) still come from the full graph, so the shared
     prefix is the exact program the full walk runs.
+
+    ``block_impl="pallas"``: runs eligible residual blocks (1×1 → 3×3 →
+    shortcut on the int8 carrier) through the fused VMEM-resident Pallas
+    kernel (``ops.pallas_block``). The kernel mimics every intermediate
+    quantization of this walk; fused-vs-unfused differences are confined
+    to requantization ties flipped by float-contraction differences
+    (measured ≤1 quant step on ~0.04% of elements — see the kernel's
+    numerics contract). Consecutive blocks chain in the kernel's padded
+    layout, paying one pad copy per stage instead of per block. Blocks
+    that don't fit the kernel (channel alignment, VMEM, non-int8 input)
+    fall back to this walk's unfused ops node by node.
     """
     prec = _PRECISIONS[precision]
     needed = graph.needed_outputs
@@ -305,7 +317,67 @@ def forward_features_int8_carrier(
             return v[1]
         return (v[1].astype(jnp.float32) * v[2]).astype(carrier_dtype)
 
+    bplan: Dict[int, Dict] = {}
+    if block_impl == "pallas":
+        from .ops.pallas_block import fused_block_plan
+
+        bplan = fused_block_plan(graph, qparams, tensor_scales)
+
+    def run_block_chain(a: int, prev_q: tuple):
+        """Run the maximal fused residual-block chain starting at node
+        ``a`` through ``ops.pallas_block``; returns (output value, last
+        fused node index) or None when the spatial geometry doesn't fit
+        the kernel (caller falls back to the unfused ops). Consecutive
+        same-shape blocks chain in the kernel's padded layout — one pad
+        copy in, one lazy slice out; intermediate shortcut outputs cache
+        as lazy slices (DCE'd unless a later route/shortcut reads them)."""
+        from .ops import pallas_block as pblk
+
+        info = bplan[a]
+        hh, ww = prev_q[1].shape[1], prev_q[1].shape[2]
+        geom = pblk.plan_geometry(hh, ww, info["cin"], info["cmid"],
+                                  info["cout"])
+        if geom is None:
+            return None
+        chain = [a]
+        while True:
+            nxt = chain[-1] + 3
+            if (nxt in bplan and bplan[nxt] == info
+                    and (upto is None or nxt + 2 < upto)
+                    and want_q(graph.nodes[chain[-1] + 2])):
+                chain.append(nxt)
+            else:
+                break
+        xp = pblk.pad_chain_input(prev_q[1], geom, hh, ww)
+        s_cur = prev_q[2]
+        val = prev_q
+        for ai in chain:
+            eq = want_q(graph.nodes[ai + 2])
+            s_out = tensor_scales[ai + 2] if eq else None
+            w1, w2, d1, v1, d2, v2 = pblk.prepare_block_params(
+                qparams[ai], qparams[ai + 1], s_cur, tensor_scales[ai],
+                info["cp"])
+            xp = pblk.residual_block_int8(
+                xp, w1, w2, d1, v1, d2, v2, h=hh, w=ww, s_in=s_cur,
+                s_mid=tensor_scales[ai], s_mid2=tensor_scales[ai + 1],
+                s_out=s_out, emit_q=eq, carrier_dtype=carrier_dtype)
+            sliced = pblk.slice_chain_output(xp, hh, ww)
+            val = ("q", sliced, s_out) if eq else ("f", sliced)
+            if (ai + 2) in needed:
+                cache[ai + 2] = val
+            s_cur = s_out
+        return val, chain[-1] + 2
+
+    skip_upto = -1
     for node in (graph.nodes if upto is None else graph.nodes[:upto]):
+        if node.index <= skip_upto:
+            continue  # node ran inside a fused block chain
+        if (node.index in bplan and prev[0] == "q"
+                and (upto is None or node.index + 2 < upto)):
+            res = run_block_chain(node.index, prev)
+            if res is not None:
+                prev, skip_upto = res
+                continue
         if node.index in head_convs:
             # head branch ends here: the skipped conv's only consumer is
             # its yolo node (fused_heads_eligible gate), so the
@@ -454,7 +526,8 @@ def forward_features_int8(graph: Graph, qparams, scales: Dict[int, float],
 def forward_compact_int8(graph: Graph, qparams, scales, x,
                          precision: Optional[str] = "bf16",
                          decode_impl: str = "xla",
-                         carrier: str = "bf16"):
+                         carrier: str = "bf16",
+                         block_impl: str = "xla"):
     """int8 serving forward → (boxes, scores, classes), compact decode.
 
     ``carrier="int8"`` runs the int8-activation-carrier walk (``scales``
@@ -471,7 +544,8 @@ def forward_compact_int8(graph: Graph, qparams, scales, x,
 
     if carrier == "int8":
         heads = forward_features_int8_carrier(graph, qparams, scales, x,
-                                              precision)
+                                              precision,
+                                              block_impl=block_impl)
     else:
         heads = forward_features_int8(graph, qparams, scales, x, precision)
     yolo_nodes = graph.yolo_nodes
@@ -482,7 +556,8 @@ def forward_compact_int8(graph: Graph, qparams, scales, x,
 
 def forward_packed_int8(graph: Graph, qparams, scales, x, prob_thresh: float,
                         precision: Optional[str] = "bf16",
-                        carrier: str = "bf16"):
+                        carrier: str = "bf16",
+                        block_impl: str = "xla"):
     """int8 serving forward → (payload (B, N, 8), scores (B, N)) for
     ``ops.nms.batched_nms_packed`` (see ``model.forward_packed``)."""
     from .model import pad_head_params
@@ -491,7 +566,8 @@ def forward_packed_int8(graph: Graph, qparams, scales, x, prob_thresh: float,
     qparams = pad_head_params(graph, qparams)
     if carrier == "int8":
         heads = forward_features_int8_carrier(graph, qparams, scales, x,
-                                              precision)
+                                              precision,
+                                              block_impl=block_impl)
     else:
         heads = forward_features_int8(graph, qparams, scales, x, precision)
     yolo_nodes = graph.yolo_nodes
@@ -503,7 +579,8 @@ def forward_packed_int8(graph: Graph, qparams, scales, x, prob_thresh: float,
 def forward_packed_fused_int8(graph: Graph, qparams, scales, x,
                               prob_thresh: float,
                               precision: Optional[str] = "bf16",
-                              carrier: str = "int8"):
+                              carrier: str = "int8",
+                              block_impl: str = "xla"):
     """``forward_packed_int8`` with the 1×1 head convs FUSED into the
     decode kernel (``ops.pallas_decode.decode_packed_head_fused_pallas``):
     the int8-carrier walk stops at each pre-head activation (dequantized
@@ -520,10 +597,12 @@ def forward_packed_fused_int8(graph: Graph, qparams, scales, x,
 
     if carrier != "int8":
         return forward_packed_int8(graph, qparams, scales, x, prob_thresh,
-                                   precision=precision, carrier=carrier)
+                                   precision=precision, carrier=carrier,
+                                   block_impl=block_impl)
     qparams = pad_head_params(graph, qparams)
     pre = forward_features_int8_carrier(graph, qparams, scales, x,
-                                        precision, stop_before_heads=True)
+                                        precision, stop_before_heads=True,
+                                        block_impl=block_impl)
     yolo_nodes = graph.yolo_nodes
     ws, bs = [], []
     for yn in yolo_nodes:

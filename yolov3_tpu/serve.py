@@ -439,6 +439,13 @@ def main(argv=None):
                          "concurrent requests coalesce into device batches")
     ap.add_argument("--max-batch", type=int, default=16,
                     help="micro-batch size cap (with --batch-window)")
+    ap.add_argument("--quantize-int8", metavar="CALIB_DIR", default=None,
+                    help="serve the int8 PTQ tier, calibrated on the images "
+                         "in CALIB_DIR (same scheme as the main CLI)")
+    ap.add_argument("--block-impl", choices=("xla", "pallas"),
+                    default="xla",
+                    help="residual-block backend on the int8 path (pallas = "
+                         "fused VMEM-resident kernel, ops/pallas_block.py)")
     ap.add_argument("--decode-impl",
                     choices=("xla", "pallas", "pallas-fused"),
                     default="pallas",
@@ -463,6 +470,24 @@ def main(argv=None):
     net = Darknet(args.config, precision=precision)
     net.load_weights(args.weights)
     net_hw = (args.net_size, args.net_size) if args.net_size else None
+    if args.quantize_int8:
+        import cv2
+
+        calib = []
+        # filter-then-cap (same rule as the main CLI): non-image files must
+        # not crowd out the calibration images
+        for p_img in sorted(Path(args.quantize_int8).iterdir()):
+            if not p_img.is_file():
+                continue
+            frame = cv2.imread(str(p_img))
+            if frame is not None:
+                calib.append(frame[..., ::-1])
+            if len(calib) >= 32:
+                break
+        if not calib:
+            raise SystemExit(f"no readable calibration images in "
+                             f"{args.quantize_int8}")
+        net.quantize_int8(calib, net_hw=net_hw)
     mesh = None
     if args.devices > 1:
         from .parallel.sharding import make_mesh
@@ -472,7 +497,8 @@ def main(argv=None):
         detector = Detector(net, prob_thresh=args.prob_thresh,
                             iou_thresh=args.iou_thresh, net_hw=net_hw,
                             decode_impl=args.decode_impl, mesh=mesh,
-                            select_group=args.select_group)
+                            select_group=args.select_group,
+                            block_impl=args.block_impl)
     except ValueError as e:
         raise SystemExit(f"error: {e}")  # user error: one line, no traceback
     names = (load_class_names(args.class_names)
