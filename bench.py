@@ -140,7 +140,8 @@ def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
 
 def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
                      quantize_heads=False, quantize_stem=False, scan=1,
-                     fused_heads=False, select_group=2, block_impl="xla"):
+                     fused_heads=False, select_group=2, block_impl="xla",
+                     top_k=512):
     """int8 PTQ path (calibrated on random frames — throughput-only here;
     accuracy calibration uses real images via Darknet.quantize_int8).
     ``quantize_heads`` also int8s the no-BN head projections (round 3;
@@ -178,7 +179,8 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
         payload, scores = fwd_q(
             graph, qparams, scales, x, prob_thresh=prob_thresh,
             precision="bf16", carrier="int8", block_impl=block_impl)
-        res = batched_nms_packed(payload, scores, select_group=select_group)
+        res = batched_nms_packed(payload, scores, select_group=select_group,
+                                 top_k=top_k)
         return jnp.sum(res.scores), jnp.sum(res.valid)
 
     run = _scanned(run, scan)
