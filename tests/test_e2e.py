@@ -683,3 +683,22 @@ def test_detect_directory_pads_final_chunk_to_one_executable(
     assert len(results) == 5
     batch_keys = {key[0] for key in det._pipelines}
     assert batch_keys == {4}, f"extra executables compiled: {batch_keys}"
+
+
+def test_top_k_auto_preset_policy(tiny_weights, cfg_paths):
+    """Detector(top_k=None) resolves the NMS working set from the graph's
+    candidate space (round-4 serving preset, measured in
+    tools/bench_tiny_k.py): 256 when num_detections(net_hw) <= 4096
+    (tiny-class graphs), 512 otherwise; an explicit top_k always wins."""
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+
+    net = Darknet(cfg_paths["yolov3-tiny"]).load_weights(tiny_weights)
+    assert net.graph.num_detections(416, 416) == 2535  # tiny-class
+    assert Detector(net).top_k == 256
+    assert Detector(net, net_hw=(416, 416)).top_k == 256
+    # tiny@608: 5415 candidates — above the preset bound, full K
+    assert Detector(net, net_hw=(608, 608)).top_k == 512
+    assert Detector(net, top_k=128).top_k == 128  # explicit override
+    g = load_graph(cfg_paths["yolov3"])
+    assert g.num_detections(608, 608) == 22743  # full model: never preset

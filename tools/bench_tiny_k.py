@@ -79,6 +79,9 @@ def main():
     ap.add_argument("--size", type=int, default=416)
     ap.add_argument("--prob-thresh", type=float, default=0.05)
     ap.add_argument("--ks", type=int, nargs="+", default=[512, 256, 128, 64])
+    ap.add_argument("--audit-only", action="store_true",
+                    help="skip the throughput sweep, run only the "
+                         "truncation-contract audit")
     args = ap.parse_args()
 
     from bench import measure_tpu_int8
@@ -100,7 +103,7 @@ def main():
     frames = np.random.default_rng(1).integers(
         0, 256, (args.batch, args.size, args.size, 3), dtype=np.uint8)
 
-    for k in args.ks:
+    for k in ([] if args.audit_only else args.ks):
         ips, blocks = measure_tpu_int8(graph, params, frames, args.iters,
                                        prob_thresh=args.prob_thresh,
                                        scan=args.scan, top_k=k)
@@ -117,9 +120,21 @@ def main():
     from yolov3_tpu.ops.preprocess import preprocess
     from yolov3_tpu.quant import calibrate_tensors, quantize_weights
 
+    # regimes × thresholds: the bias shifts the whole candidate-count
+    # distribution (sparse ≈ 0, dense ≈ all 2535), and the threshold sweep
+    # inside the dense regime walks counts down through the K range so at
+    # least one row lands mid-range — where "untruncated images must be
+    # set-identical across K" actually has bite (an all-truncated or
+    # all-empty row checks the contract vacuously).
     audit_frames = np.asarray(frames[:16])
-    for regime, obj_bias in (("sparse(bias-6)", -6.0), ("dense(bias-2)",
-                                                        -2.0)):
+    for regime, obj_bias, threshes in (
+            ("sparse(bias-6)", -6.0, (args.prob_thresh,)),
+            ("dense(bias-2)", -2.0,
+             # the random-weight score cluster sits just above 0.05 (all
+             # 2520+ pass at 0.05, ~1165 at 0.072, none at 0.10); these
+             # walk the cluster's upper tail so per-image counts land
+             # inside the K range and the equality check has bite
+             (args.prob_thresh, 0.072, 0.080, 0.085, 0.090))):
         p = make_params(obj_bias)
         dev = jax.device_put(jax.tree.map(jnp.asarray, p))
         rng = np.random.default_rng(3)
@@ -128,22 +143,24 @@ def main():
             (args.size, args.size))]
         scales = calibrate_tensors(graph, dev, calib, precision="bf16")
         qp = jax.device_put(quantize_weights(graph, dev))
-        pre, sets = all_k_detection_sets(graph, qp, scales, audit_frames,
-                                         args.prob_thresh, sorted(args.ks))
-        ref_sets = sets[max(args.ks)]
-        out = {"audit": regime,
-               "pre_nms_per_image":
-                   [int(v) for v in np.percentile(pre, [0, 50, 100])],
-               }
-        for k in sorted(args.ks):
-            if k == max(args.ks):
-                continue
-            untrunc = [b for b in range(len(sets[k])) if pre[b] <= k]
-            eq = all(sets[k][b] == ref_sets[b] for b in untrunc)
-            out[f"K={k}"] = {"truncated_images":
-                             int((pre > k).sum()),
-                             "untruncated_equal": bool(eq)}
-        print(json.dumps(out), flush=True)
+        for thresh in threshes:
+            pre, sets = all_k_detection_sets(graph, qp, scales,
+                                             audit_frames, thresh,
+                                             sorted(args.ks))
+            ref_sets = sets[max(args.ks)]
+            out = {"audit": regime, "prob_thresh": thresh,
+                   "pre_nms_per_image":
+                       [int(v) for v in np.percentile(pre, [0, 50, 100])],
+                   }
+            for k in sorted(args.ks):
+                if k == max(args.ks):
+                    continue
+                untrunc = [b for b in range(len(sets[k])) if pre[b] <= k]
+                eq = all(sets[k][b] == ref_sets[b] for b in untrunc)
+                out[f"K={k}"] = {"truncated_images": int((pre > k).sum()),
+                                 "untruncated_images": len(untrunc),
+                                 "untruncated_equal": bool(eq)}
+            print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

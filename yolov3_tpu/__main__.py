@@ -78,8 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="conv precision: 'highest' pins fp32 (parity), "
                         "'default' allows fast TPU passes, 'bf16' runs convs "
                         "fully in bfloat16 (fastest; decode stays fp32)")
-    p.add_argument("--top-k", type=int, default=512,
-                   help="static NMS candidate cap per image")
+    p.add_argument("--top-k", type=int, default=None,
+                   help="static NMS candidate cap per image (default: auto "
+                        "preset — 512, or 256 for tiny-class graphs whose "
+                        "candidate space is <=4096; tools/bench_tiny_k.py "
+                        "has the measured sweep)")
     p.add_argument("--max-results", type=int, default=128,
                    help="max returned detections per image (0 = all top-k "
                         "slots; smaller = less device->host transfer)")

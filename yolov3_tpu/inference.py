@@ -55,7 +55,7 @@ class Detector:
 
     def __init__(self, net: Darknet, prob_thresh: float = 0.05,
                  iou_thresh: float = 0.3, resize_mode: str = "letterbox",
-                 top_k: int = 512, bgr: bool = True,
+                 top_k: Optional[int] = None, bgr: bool = True,
                  net_hw: Optional[Tuple[int, int]] = None, mesh=None,
                  nms_impl: str = "xla", decode_impl: str = "pallas",
                  max_results: int = 128, scan: int = 1,
@@ -65,8 +65,18 @@ class Detector:
         self.prob_thresh = float(prob_thresh)
         self.iou_thresh = float(iou_thresh)
         self.resize_mode = resize_mode
-        self.top_k = int(top_k)
-        if self.top_k < 1:
+        # NMS working-set size. None = auto preset (resolved below, after
+        # net_hw is known): 512 for the full models, 256 for tiny-class
+        # graphs — with dispatch amortized by scan, selection+suppression
+        # at K=512 is ~40% of tiny@416's ~10 ms device step, and the K
+        # sweep (tools/bench_tiny_k.py, on-chip 2026-08-19) measured
+        # 12684 → 14924 img/s int8 going 512 → 256 (15829 at K=128 for
+        # callers who pass it explicitly). Semantics are bounded by the >K
+        # truncation contract (ops/nms.py): results differ ONLY when more
+        # than K candidates pass the serving threshold — 256 is >10% of a
+        # tiny graph's entire 2535-candidate space.
+        self._top_k_arg = top_k
+        if top_k is not None and int(top_k) < 1:
             # a zero-candidate NMS working set fails minutes later inside a
             # jitted slice with an opaque shape error
             raise ValueError(f"top_k must be >= 1, got {top_k}")
@@ -116,6 +126,11 @@ class Detector:
             raise ValueError(f"net_hw {self.net_hw} must be positive "
                              f"multiples of the net's max stride "
                              f"({max_stride})")
+        if self._top_k_arg is None:
+            n_cand = net.graph.num_detections(*self.net_hw)
+            self.top_k = 256 if n_cand <= 4096 else 512
+        else:
+            self.top_k = int(self._top_k_arg)
         if not 0.0 <= self.prob_thresh < 1.0:
             raise ValueError(f"prob_thresh must be in [0, 1), got "
                              f"{prob_thresh}")
