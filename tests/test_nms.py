@@ -437,6 +437,37 @@ def test_pairmax_fuzz_many_shapes():
                                       err_msg=ctx)
 
 
+def test_pack_results_roundtrip_and_validity_invariant():
+    """pack_results/unpack_results (round-4 serving fast path: ONE device
+    array per batch instead of four, so _unpack pays one D2H transfer).
+    The pack drops the valid plane, relying on the producer contract —
+    suppressed/pad scores are zeroed, surviving scores strictly positive —
+    so ``score > 0`` ≡ ``valid``. Verify the contract on real NMS output
+    (including prob_thresh=0.0, where `>= thresh` alone would admit exact
+    zeros) and the exact round trip of every field."""
+    from yolov3_tpu.ops.nms import (batched_nms_compact, pack_results,
+                                    unpack_results)
+
+    rng = np.random.default_rng(91)
+    det = random_detections(rng, n=900, classes=6)
+    boxes = jnp.asarray(cxywh_to_tlbr(det[None, :, :4]))
+    scores = jnp.asarray((det[:, 4] * det[:, 5:].max(1))[None])
+    classes = jnp.asarray(det[:, 5:].argmax(1).astype(np.int32)[None])
+    for thresh in (0.0, 0.3):
+        res = batched_nms_compact(boxes, scores, classes, prob_thresh=thresh,
+                                  iou_thresh=0.4, top_k=128)
+        np.testing.assert_array_equal(np.asarray(res.valid),
+                                      np.asarray(res.scores) > 0.0,
+                                      err_msg=f"producer contract@{thresh}")
+        packed = pack_results(res)
+        assert packed.shape == (*res.scores.shape, 6)
+        back = unpack_results(packed)
+        for name in ("boxes", "scores", "classes", "valid"):
+            np.testing.assert_array_equal(np.asarray(getattr(res, name)),
+                                          np.asarray(getattr(back, name)),
+                                          err_msg=f"{name}@{thresh}")
+
+
 def test_blocked_fused_equals_blocked():
     """_greedy_suppress_blocked_fused (on-the-fly conflict columns) is
     bit-identical to the matrix-based blocked form and the scalar greedy."""

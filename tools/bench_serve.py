@@ -66,10 +66,10 @@ def _batch_hist(metrics_text):
     """Parse the coalesced-batch-size distribution from /metrics."""
     hist = {}
     for line in metrics_text.splitlines():
-        if line.startswith("yolov3_batch_size_bucket"):
-            # yolov3_batch_size_bucket{le="4"} 12
-            le = line.split('le="')[1].split('"')[0]
-            hist[le] = int(float(line.rsplit(" ", 1)[1]))
+        if line.startswith("yolov3_device_batches_total{"):
+            # yolov3_device_batches_total{size="16"} 12
+            size = line.split('size="')[1].split('"')[0]
+            hist[size] = int(float(line.rsplit(" ", 1)[1]))
     return hist
 
 
@@ -114,6 +114,11 @@ def main():
     ap.add_argument("--seq-requests", type=int, default=20)
     ap.add_argument("--window-ms", type=float, default=5.0)
     ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--max-results", type=int, default=128,
+                    help="Detector max_results (post-NMS survivors "
+                         "returned per image) — the D2H payload is "
+                         "max_results*24 bytes/image, the binding term "
+                         "through this environment's ~150 KB/s relay D2H")
     ap.add_argument("--src-hw", default="720x1280")
     ap.add_argument("--sequential-only", action="store_true")
     ap.add_argument("--concurrent-only", action="store_true")
@@ -142,7 +147,8 @@ def main():
             f"{'int8' if args.quantize_int8 else args.precision}")
 
     def start(batch_window_s, max_batch):
-        det = Detector(net, prob_thresh=0.3, net_hw=net_hw)
+        det = Detector(net, prob_thresh=0.3, net_hw=net_hw,
+                       max_results=args.max_results)
         srv = serve(det, host="127.0.0.1", port=0, warmup_hw=src_hw,
                     batch_window_s=batch_window_s, max_batch=max_batch)
         thread = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -158,6 +164,7 @@ def main():
         _post(base + "/detect", jpeg)  # compile/warm
         lat, errs, wall = run_load(base, jpeg, 1, args.seq_requests)
         out = {"mode": "sequential", "server": name,
+               "max_results": args.max_results,
                "src_hw": args.src_hw, "requests": len(lat), "errors": errs,
                **pct(lat), "req_s": round(len(lat) / wall, 2)}
         print(json.dumps(out), flush=True)
@@ -175,6 +182,7 @@ def main():
         out = {"mode": "concurrent", "server": name,
                "clients": args.clients, "window_ms": args.window_ms,
                "max_batch": args.max_batch, "src_hw": args.src_hw,
+               "max_results": args.max_results,
                "requests": len(lat), "errors": errs,
                **pct(lat), "req_s": round(len(lat) / wall, 2),
                "batch_size_hist_le": hist}

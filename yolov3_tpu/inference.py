@@ -32,9 +32,12 @@ import jax
 import jax.numpy as jnp
 
 from .model import Darknet, forward_compact
-from .ops.nms import batched_nms_compact, batched_nms_packed
+from .ops.nms import batched_nms_compact, batched_nms_packed, pack_results
 from .ops.preprocess import preprocess
 from .utils.boxes import unletterbox_tlbr, unstretch_tlbr
+
+# one tiny executable per result shape; shared across Detectors
+_pack_jit = jax.jit(pack_results)
 
 
 @dataclass
@@ -286,8 +289,7 @@ class Detector:
                                        select_group=select_group)
             # the scan (if any) runs INSIDE the sharded program; results
             # come back (scan, B, ...) and _unpack merges them host-side
-            self._cache_pipeline(key, run)
-            return run
+            return self._cache_pipeline(key, run)
 
         if self.net.quantized:
             from .quant import forward_compact_int8
@@ -388,31 +390,48 @@ class Detector:
                 return jax.tree.map(
                     lambda a: a.reshape((-1, *a.shape[2:])), res)
 
-        self._cache_pipeline(key, run)
-        return run
+        return self._cache_pipeline(key, run)
 
     def _cache_pipeline(self, key, run):
-        self._pipelines[key] = run
+        # Pack the NMSResult into ONE device array before it leaves the
+        # pipeline (ops/nms.pack_results): _unpack then pays a single D2H
+        # transfer instead of four (boxes/scores/classes/valid), which is
+        # four launch round trips on any transport — and through this
+        # environment's relay was ~90 ms of the measured ~178 ms sequential
+        # serving request (round 4, tools/bench_serve.py). The pack runs as
+        # its OWN tiny jitted program (not an outer jit over ``run``): the
+        # quantized/mesh pipelines close over their params, and re-tracing
+        # them under a wrapper jit would embed the weights as constants.
+        base = run
+
+        def packed(params, frames):
+            return _pack_jit(base(params, frames))
+
+        self._pipelines[key] = packed
         while len(self._pipelines) > self._pipeline_capacity:
             self._pipelines.popitem(last=False)
+        return packed
 
     def _unpack(self, res, src_hw: Optional[Tuple[int, int]]
                 ) -> List[Detection]:
-        """Materialize a device NMSResult: unpack ≤K survivors per image and
-        rescale to source coordinates (all same-shape sources).
-        ``src_hw=None`` skips rescaling (boxes stay in net-input pixels)."""
-        valid = np.asarray(res.valid)
-        boxes = np.asarray(res.boxes)
-        scores = np.asarray(res.scores)
-        classes = np.asarray(res.classes)
-        if valid.ndim == 3:
-            # scanned-on-mesh results arrive (scan, B, ...) — the batch axis
-            # stays sharded on-device (zero-collective contract), so the
-            # merge back to (scan·B, ...) happens here in host numpy; the
-            # C-order reshape reproduces the frame order k·B + b exactly
-            valid, boxes, scores, classes = (
-                a.reshape(-1, *a.shape[2:])
-                for a in (valid, boxes, scores, classes))
+        """Materialize packed device results (ops/nms.pack_results layout):
+        unpack ≤K survivors per image and rescale to source coordinates
+        (all same-shape sources). ``src_hw=None`` skips rescaling (boxes
+        stay in net-input pixels). ONE np.asarray = ONE device→host
+        transfer per batch — the earlier four-field NMSResult fetch paid
+        four round trips (measured ~30 ms each through this environment's
+        relay; four transfer setups on any transport)."""
+        arr = np.asarray(res)
+        if arr.ndim == 4:
+            # scanned-on-mesh results arrive (scan, B, R, 6) — the batch
+            # axis stays sharded on-device (zero-collective contract), so
+            # the merge back to (scan·B, ...) happens here in host numpy;
+            # the C-order reshape reproduces the frame order k·B + b exactly
+            arr = arr.reshape(-1, *arr.shape[2:])
+        boxes = arr[..., :4]
+        scores = arr[..., 4]
+        classes = arr[..., 5].astype(np.int32)
+        valid = scores > 0.0
         unmap = unletterbox_tlbr if self.resize_mode == "letterbox" else unstretch_tlbr
         out: List[Detection] = []
         for i in range(valid.shape[0]):

@@ -34,6 +34,36 @@ class NMSResult(NamedTuple):
     valid: jax.Array   # (B, K) bool survivor mask
 
 
+def pack_results(res: NMSResult) -> jax.Array:
+    """Flatten an NMSResult into ONE f32 array for a single D2H transfer:
+    ``[..., :4]`` tlbr boxes, ``[..., 4]`` score, ``[..., 5]`` class id.
+
+    Validity needs no separate plane: every NMS producer in this module
+    zeroes scores on suppressed/pad slots and every surviving candidate's
+    score is strictly positive (sigmoid outputs are > 0), so
+    ``score > 0`` ≡ ``valid`` — the host side recovers the mask for free.
+    Class ids (< 80) and net-pixel boxes are exact in f32.
+
+    Serving motivation: the four-field fetch cost four device→host
+    transfers per batch — four launch round trips on any transport, and
+    through this environment's relay ~30 ms EACH (measured round 4,
+    tools/bench_serve.py: 4 fetches dominated the sequential request)."""
+    return jnp.concatenate(
+        [res.boxes, res.scores[..., None],
+         res.classes.astype(jnp.float32)[..., None]], axis=-1)
+
+
+def unpack_results(arr) -> NMSResult:
+    """Host-side inverse of ``pack_results`` (numpy in, numpy fields out)."""
+    import numpy as np
+
+    arr = np.asarray(arr)
+    scores = arr[..., 4]
+    return NMSResult(boxes=arr[..., :4], scores=scores,
+                     classes=arr[..., 5].astype(np.int32),
+                     valid=scores > 0.0)
+
+
 def iou_matrix(boxes: jax.Array) -> jax.Array:
     """Pairwise IoU of (K, 4) tlbr boxes → (K, K)."""
     area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * jnp.maximum(
