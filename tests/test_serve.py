@@ -137,6 +137,21 @@ def test_serve_cli_bad_net_size(tmp_path, cfg_paths):
               "--net-size", "100"])
 
 
+def test_serve_cli_top_k_plumbed(tmp_path, cfg_paths):
+    """--top-k / --max-results (round 4) flow into the Detector: a bad
+    top_k surfaces as the Detector's one-line knob validation, proving the
+    flag reaches the constructor rather than being silently dropped."""
+    from yolov3_tpu.serve import main
+
+    g = load_graph(cfg_paths["yolov3-tiny"])
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=32))
+    with pytest.raises(SystemExit, match="top_k"):
+        main(["--weights", str(wpath),
+              "--config", str(cfg_paths["yolov3-tiny"]),
+              "--top-k", "0"])
+
+
 @pytest.fixture(scope="module")
 def batched_server(tmp_path_factory, cfg_paths):
     from yolov3_tpu.inference import Detector

@@ -453,6 +453,15 @@ def main(argv=None):
     ap.add_argument("--select-group", type=int, default=2,
                     help="group-max selection width G (see yolov3_tpu "
                          "--help)")
+    ap.add_argument("--top-k", type=int, default=None,
+                    help="NMS working set per image (default: the "
+                         "Detector's auto preset — 256 for small graphs, "
+                         "512 otherwise; results change only on images "
+                         "where more than K candidates pass --prob-thresh)")
+    ap.add_argument("--max-results", type=int, default=128,
+                    help="max returned detections per image (0 = all "
+                         "top-k survivors); also sizes the per-image "
+                         "device->host result payload (24 bytes each)")
     ap.add_argument("--devices", type=int, default=1, metavar="N",
                     help="shard each request batch over N chips (batch-DP "
                          "mesh, parallel/sharding.py; pair with "
@@ -498,7 +507,9 @@ def main(argv=None):
                             iou_thresh=args.iou_thresh, net_hw=net_hw,
                             decode_impl=args.decode_impl, mesh=mesh,
                             select_group=args.select_group,
-                            block_impl=args.block_impl)
+                            block_impl=args.block_impl,
+                            top_k=args.top_k,
+                            max_results=args.max_results)
     except ValueError as e:
         raise SystemExit(f"error: {e}")  # user error: one line, no traceback
     names = (load_class_names(args.class_names)
