@@ -84,13 +84,15 @@ def _scanned(run, scan):
 
 
 def auto_top_k(graph, net_hw):
-    """The Detector's NMS working-set preset (yolov3_tpu/inference.py,
-    round 4): 256 for tiny-class graphs (candidate space ≤ 4096), 512
-    otherwise — measured sweep in tools/bench_tiny_k.py. The bench rows
-    mirror the serving default so driver-captured numbers are the numbers
-    a Detector user gets; rows record the resolved K when it differs from
-    the historical 512."""
-    return 256 if graph.num_detections(*net_hw) <= 4096 else 512
+    """The Detector's NMS working-set preset — delegates to the ONE
+    policy source (yolov3_tpu/ops/nms.py::auto_top_k) so the bench rows
+    mirror the serving default and driver-captured numbers are the
+    numbers a Detector user gets; rows record the resolved K when it
+    differs from the historical 512. (Thin wrapper, lazily imported —
+    bench defers heavy imports until after CLI parsing.)"""
+    from yolov3_tpu.ops.nms import auto_top_k as _policy
+
+    return _policy(graph, net_hw)
 
 
 def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
@@ -592,10 +594,13 @@ def _run(args):
                   f"not eligible (see model.fused_heads_eligible); rows "
                   f"measure the UNFUSED path", file=sys.stderr)
 
-    def knob_fields(row):
+    def knob_fields(row, prec):
         if args.fused_heads:
             row["fused_heads"] = fused_active
-        if args.fuse_blocks:
+        if args.fuse_blocks and prec == "int8":
+            # block_impl only exists on the int8 path (quant walk) — a
+            # bf16 row stamped fuse_blocks would claim a knob that never
+            # shaped it (provenance rule above)
             row["fuse_blocks"] = True
         if args.select_group != 2:
             row["select_group"] = args.select_group
@@ -624,7 +629,7 @@ def _run(args):
             "vs_baseline": round(tpu_ips / base["img_s"], 2),
             "baseline_img_s": round(base["img_s"], 4),
             "baseline_std": round(base["std"], 4),
-        })
+        }, args.precision)
         rows[f"{graph.name}@{size} batch{args.batch} {args.precision}"] = row
         if headline is None:
             headline = (size, tpu_ips, base["img_s"])
@@ -640,19 +645,27 @@ def _run(args):
                 "blocks": [round(b, 2) for b in blocks],
                 "scan": scan_for(size),
                 "vs_baseline": round(ips / base["img_s"], 2),
-            })
+            }, "int8")
 
     # Opportunistic fused-block row (round 4, VERDICT item 1): the fused
     # int8 residual-block kernel's e2e delta, measured in the driver's own
     # run. Crash-guarded like the fused-head rows below.
     if (precision == "bf16" and args.size is None and not args.quick
             and not args.fuse_blocks):
+        # only meaningful when the graph HAS residual blocks — otherwise
+        # block_impl="pallas" compiles the identical program (the fused
+        # plan is empty) and the row would claim a fusion that measured
+        # nothing, at a resolution (608) the graph isn't otherwise benched
+        # at (tiny has no shortcut nodes)
+        has_blocks = any(n.kind == "shortcut" for n in graph.nodes)
         elapsed = time.perf_counter() - _T0
-        if args.deadline <= 0 or elapsed < args.deadline * 0.6:
-            base = torch_baseline(graph, raw, 608, batch=min(args.batch, 4),
-                                  iters=torch_iters)
+        if (has_blocks
+                and (args.deadline <= 0 or elapsed < args.deadline * 0.6)):
             key = f"{graph.name}@608 batch{args.batch} int8 fuse-blocks"
-            try:
+            try:  # the whole row incl. its baseline: never cost the headline
+                base = torch_baseline(graph, raw, 608,
+                                      batch=min(args.batch, 4),
+                                      iters=torch_iters)
                 frames = np.random.default_rng(1).integers(
                     0, 256, (args.batch, 608, 608, 3), dtype=np.uint8)
                 iters = max(2, round(args.iters / scan_for(608)))
@@ -687,18 +700,23 @@ def _run(args):
                 rows[f"variants-skipped {vcfg}@{vsize}"] = {
                     "error": "deadline budget exhausted"}
                 continue
-            vgraph = load_graph(REPO / "models" / vcfg)
-            vraw = random_raw(vgraph, seed=0)
-            vpa = 5 + vgraph.yolo_nodes[0].classes
-            for node in vgraph.conv_nodes:
-                if not node.batch_normalize:
-                    vraw[node.index]["bias"][4::vpa] = -6.0
-            vparams = fold_raw(vraw)
-            vbase = torch_baseline(vgraph, vraw, vsize,
-                                   batch=min(args.batch, 4),
-                                   iters=torch_iters)
-            frames = np.random.default_rng(1).integers(
-                0, 256, (args.batch, vsize, vsize, 3), dtype=np.uint8)
+            try:  # setup incl. the torch baseline: never cost the headline
+                vgraph = load_graph(REPO / "models" / vcfg)
+                vraw = random_raw(vgraph, seed=0)
+                vpa = 5 + vgraph.yolo_nodes[0].classes
+                for node in vgraph.conv_nodes:
+                    if not node.batch_normalize:
+                        vraw[node.index]["bias"][4::vpa] = -6.0
+                vparams = fold_raw(vraw)
+                vbase = torch_baseline(vgraph, vraw, vsize,
+                                       batch=min(args.batch, 4),
+                                       iters=torch_iters)
+                frames = np.random.default_rng(1).integers(
+                    0, 256, (args.batch, vsize, vsize, 3), dtype=np.uint8)
+            except Exception as e:
+                rows[f"variants-failed {vcfg}@{vsize}"] = {
+                    "error": f"{type(e).__name__}: {e}"[:300]}
+                continue
             vscan = scan_for(vsize)
             viters = max(2, round(args.iters * max(1, round(
                 (608 / vsize) ** 2)) / vscan))
@@ -742,14 +760,22 @@ def _run(args):
             and not args.fused_heads):
         from yolov3_tpu.model import fused_heads_eligible
 
+        # budget thresholds are monotone across the extra-row blocks
+        # (fuse-blocks 0.6 → variants 0.75 → here 0.8 → latency 0.85) so
+        # earlier blocks can't silently starve later ones; a skip leaves
+        # an explicit row, matching the variants-skipped convention
         elapsed = time.perf_counter() - _T0
-        in_budget = args.deadline <= 0 or elapsed < args.deadline * 0.5
-        if fused_heads_eligible(graph) and in_budget:
-            base = torch_baseline(graph, raw, 608, batch=min(args.batch, 4),
-                                  iters=torch_iters)
+        in_budget = args.deadline <= 0 or elapsed < args.deadline * 0.8
+        if fused_heads_eligible(graph) and not in_budget:
+            rows[f"{graph.name}@608 fused-heads skipped"] = {
+                "error": "deadline budget exhausted"}
+        elif fused_heads_eligible(graph):
             for prec, prms in (("bf16", run_params), ("int8", params)):
                 key = f"{graph.name}@608 batch{args.batch} {prec} fused-heads"
-                try:
+                try:  # incl. the baseline: never cost the headline
+                    base = torch_baseline(graph, raw, 608,
+                                          batch=min(args.batch, 4),
+                                          iters=torch_iters)
                     ips, blocks = measure_at(608, prec, prms, fused=True)
                     rows[key] = {
                         "img_s": round(ips, 2),

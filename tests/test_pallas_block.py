@@ -183,7 +183,7 @@ def test_cmid_at_lane_boundary():
 
 
 def test_odd_spatial_geometry():
-    # 38-input → 19×19 blocks: h == th (single row tile), w8 > w — the
+    # 38-input → 19×19 blocks: h == th (single row tile), ws > w — the
     # bottom/right masks and the roll wrap-around all exercise
     g = _graph(net_hw=(38, 38), blocks=1)
     qp, scales, x = _quantized(g)

@@ -156,6 +156,8 @@ def main():
         return srv, f"http://127.0.0.1:{srv.server_address[1]}"
 
     def pct(lat):
+        if not lat:  # all requests failed: report it, don't crash numpy
+            return {"p50_ms": None, "p90_ms": None, "p99_ms": None}
         return {k: round(float(np.percentile(lat, q)), 1)
                 for k, q in (("p50_ms", 50), ("p90_ms", 90), ("p99_ms", 99))}
 

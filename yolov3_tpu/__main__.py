@@ -181,23 +181,9 @@ def main(argv=None) -> int:
     net.load_weights(args.weights, cache=args.cache_params)
 
     if args.quantize_int8:
-        import cv2
+        from .quant import load_calibration_dir
 
-        calib = []
-        # filter-then-cap, not cap-then-filter: a directory whose listing
-        # leads with non-image files (labels/, README, sidecars) must not
-        # crowd out the 32 calibration images (round-2 review)
-        for p_img in sorted(Path(args.quantize_int8).iterdir()):
-            if not p_img.is_file():
-                continue
-            frame = cv2.imread(str(p_img))
-            if frame is not None:
-                calib.append(frame[..., ::-1])  # BGR→RGB, native size
-            if len(calib) >= 32:
-                break
-        if not calib:
-            raise SystemExit(f"no readable calibration images in "
-                             f"{args.quantize_int8}")
+        calib = load_calibration_dir(args.quantize_int8)
         size = (args.net_size, args.net_size) if args.net_size else None
         # calibration must use the SAME preprocessing as serving
         net.quantize_int8(calib, net_hw=size, mode=args.resize_mode)

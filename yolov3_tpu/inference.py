@@ -130,8 +130,8 @@ class Detector:
                              f"multiples of the net's max stride "
                              f"({max_stride})")
         if self._top_k_arg is None:
-            n_cand = net.graph.num_detections(*self.net_hw)
-            self.top_k = 256 if n_cand <= 4096 else 512
+            from .ops.nms import auto_top_k
+            self.top_k = auto_top_k(net.graph, self.net_hw)
         else:
             self.top_k = int(self._top_k_arg)
         if not 0.0 <= self.prob_thresh < 1.0:

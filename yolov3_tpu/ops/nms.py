@@ -34,6 +34,18 @@ class NMSResult(NamedTuple):
     valid: jax.Array   # (B, K) bool survivor mask
 
 
+def auto_top_k(graph, net_hw) -> int:
+    """The NMS working-set preset — the ONE policy source (round 4):
+    256 for small graphs (candidate space ≤ 4096; tiny@416 has 2535 and
+    measured +18% throughput at K=256, tools/bench_tiny_k.py), 512
+    otherwise. Semantics are bounded by the >K truncation contract:
+    results change only on images where more than K candidates pass the
+    serving threshold. Used by Detector(top_k=None) and mirrored by
+    bench.py so driver-captured rows are the numbers a Detector user
+    gets."""
+    return 256 if graph.num_detections(*net_hw) <= 4096 else 512
+
+
 def pack_results(res: NMSResult) -> jax.Array:
     """Flatten an NMSResult into ONE f32 array for a single D2H transfer:
     ``[..., :4]`` tlbr boxes, ``[..., 4]`` score, ``[..., 5]`` class id.

@@ -75,7 +75,6 @@ def _round_up(x: int, m: int) -> int:
 class BlockGeometry(NamedTuple):
     th: int      # row tile (divides hp)
     hp: int      # padded image rows
-    w8: int      # padded output cols (multiple of 8)
     ws: int      # slab cols incl. ≥1 right halo col (multiple of 8)
     cp: int      # c_mid padded to the 128-lane boundary
 
@@ -88,7 +87,6 @@ def plan_geometry(h: int, w: int, c_in: int, c_mid: int,
     if c_in % 128 or c_out != c_in or c_mid < 32:
         return None
     cp = _round_up(c_mid, 128)
-    w8 = _round_up(w, 8)
     ws = _round_up(w + 1, 8)  # ≥1 right halo col for the kx=+1 tap
     cands = sorted({d for d in range(1, min(h, 32) + 1) if h % d == 0}
                    | {8, 4, 2, 1}, reverse=True)
@@ -103,7 +101,7 @@ def plan_geometry(h: int, w: int, c_in: int, c_mid: int,
             + c_in * cp + 9 * cp * c_out       # weights
         )
         if need <= _VMEM_BUDGET:
-            return BlockGeometry(th, _round_up(h, th), w8, ws, cp)
+            return BlockGeometry(th, _round_up(h, th), ws, cp)
     return None
 
 

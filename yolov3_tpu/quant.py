@@ -39,6 +39,31 @@ from .graph import Graph, Node
 from .model import _maxpool, _upsample_nearest, _PRECISIONS
 
 
+def load_calibration_dir(path, cap: int = 32) -> List[np.ndarray]:
+    """Load up to ``cap`` calibration images (RGB, native size) from a
+    directory — the ONE loader behind both CLIs' ``--quantize-int8
+    CALIB_DIR``. Filter-then-cap, not cap-then-filter: a directory whose
+    listing leads with non-image files (labels/, README, sidecars) must
+    not crowd out the calibration images (round-2 review). Raises
+    SystemExit with a one-line message when none are readable (both CLIs
+    treat that as user error, not a traceback)."""
+    import cv2
+    from pathlib import Path
+
+    calib: List[np.ndarray] = []
+    for p_img in sorted(Path(path).iterdir()):
+        if not p_img.is_file():
+            continue
+        frame = cv2.imread(str(p_img))
+        if frame is not None:
+            calib.append(frame[..., ::-1])  # BGR→RGB, native size
+        if len(calib) >= cap:
+            break
+    if not calib:
+        raise SystemExit(f"no readable calibration images in {path}")
+    return calib
+
+
 def eligible(graph: Graph, node: Node, include_heads: bool = False,
              include_stem: bool = False) -> bool:
     """Quantize BN'd convs. ``include_heads=True`` additionally quantizes the

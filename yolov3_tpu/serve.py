@@ -480,23 +480,10 @@ def main(argv=None):
     net.load_weights(args.weights)
     net_hw = (args.net_size, args.net_size) if args.net_size else None
     if args.quantize_int8:
-        import cv2
+        from .quant import load_calibration_dir
 
-        calib = []
-        # filter-then-cap (same rule as the main CLI): non-image files must
-        # not crowd out the calibration images
-        for p_img in sorted(Path(args.quantize_int8).iterdir()):
-            if not p_img.is_file():
-                continue
-            frame = cv2.imread(str(p_img))
-            if frame is not None:
-                calib.append(frame[..., ::-1])
-            if len(calib) >= 32:
-                break
-        if not calib:
-            raise SystemExit(f"no readable calibration images in "
-                             f"{args.quantize_int8}")
-        net.quantize_int8(calib, net_hw=net_hw)
+        net.quantize_int8(load_calibration_dir(args.quantize_int8),
+                          net_hw=net_hw)
     mesh = None
     if args.devices > 1:
         from .parallel.sharding import make_mesh
