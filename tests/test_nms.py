@@ -530,3 +530,54 @@ def test_detector_select_group_plumbing_bit_identical(cfg_paths):
         Detector(Darknet(cfg_paths["yolov3-tiny"],
                          precision="highest").set_params(params),
                  select_group=1)
+
+
+def test_auto_top_k_policy(cfg_paths):
+    """auto_top_k is the ONE NMS working-set policy source (round 4): 256
+    for graphs whose candidate space is <= 4096, 512 otherwise — and both
+    Detector(top_k=None) and bench.py's mirror resolve through it, so the
+    driver-captured bench rows are the numbers a Detector user gets."""
+    from yolov3_tpu.graph import load_graph
+    from yolov3_tpu.ops.nms import auto_top_k
+
+    tiny = load_graph(cfg_paths["yolov3-tiny"])
+    full = load_graph(cfg_paths["yolov3"])
+    spp = load_graph(cfg_paths["yolov3-spp"])
+
+    # tiny@416: (26^2 + 13^2) * 3 = 2535 candidates -> small preset
+    assert tiny.num_detections(416, 416) == 2535
+    assert auto_top_k(tiny, (416, 416)) == 256
+    # the preset is resolution-dependent, not model-name-dependent:
+    # tiny@608 has (38^2 + 19^2) * 3 = 5415 > 4096 candidates
+    assert auto_top_k(tiny, (608, 608)) == 512
+    # full-size graphs stay at the historical 512 at every benched size
+    for g in (full, spp):
+        for s in (320, 416, 608):
+            assert auto_top_k(g, (s, s)) == 512
+
+    # bench.py's wrapper delegates to the same policy (single source)
+    import bench
+    for g, hw in ((tiny, (416, 416)), (tiny, (608, 608)),
+                  (full, (608, 608))):
+        assert bench.auto_top_k(g, hw) == auto_top_k(g, hw)
+
+
+def test_detector_resolves_auto_top_k(cfg_paths):
+    """Detector(top_k=None) resolves the preset AFTER net_hw is known (the
+    candidate space depends on the serving resolution, not the cfg's
+    net_size); an explicit top_k always wins."""
+    from yolov3_tpu.graph import load_graph
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.weights import fold_raw, random_raw
+
+    params = fold_raw(random_raw(load_graph(cfg_paths["yolov3-tiny"]),
+                                 seed=5))
+
+    def det(**kw):
+        net = Darknet(cfg_paths["yolov3-tiny"]).set_params(params)
+        return Detector(net, **kw)
+
+    assert det(net_hw=(416, 416)).top_k == 256
+    assert det(net_hw=(608, 608)).top_k == 512
+    assert det(net_hw=(416, 416), top_k=96).top_k == 96

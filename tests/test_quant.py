@@ -495,3 +495,41 @@ def test_detector_int8_fused_decode_same_detections(setup, cfg_paths,
     # same bar as the fp32-vs-int8 set parity above: random-weight NMS is
     # chaotic under class tie-flips (one flip rewrites a conflict set)
     assert matched / total >= 0.75, f"fused parity {matched}/{total}"
+
+
+def test_load_calibration_dir(tmp_path):
+    """The ONE calibration-image loader behind both CLIs' --quantize-int8:
+    filter-then-cap (non-image files must not crowd out images), BGR->RGB,
+    native sizes preserved, one-line SystemExit when nothing is readable."""
+    import cv2
+
+    from yolov3_tpu.quant import load_calibration_dir
+
+    rng = np.random.default_rng(7)
+    # leading non-image clutter (sorts first), a subdirectory, 3 images of
+    # distinct sizes
+    (tmp_path / "0_README.txt").write_text("not an image")
+    (tmp_path / "0_labels").mkdir()
+    imgs_bgr = []
+    for i, hw in enumerate([(32, 48), (40, 40), (24, 64)]):
+        img = rng.integers(0, 256, (*hw, 3), dtype=np.uint8)
+        cv2.imwrite(str(tmp_path / f"img_{i}.png"), img)
+        imgs_bgr.append(img)
+
+    # cap counts readable images only (filter-then-cap): the text file and
+    # the directory must not consume cap slots
+    calib = load_calibration_dir(tmp_path, cap=2)
+    assert len(calib) == 2
+    # sorted order, BGR->RGB conversion, native sizes preserved
+    for got, bgr in zip(calib, imgs_bgr):
+        np.testing.assert_array_equal(got, bgr[..., ::-1])
+
+    calib = load_calibration_dir(tmp_path, cap=32)
+    assert len(calib) == 3
+
+    # a directory with no readable images is user error: one-line exit
+    empty = tmp_path / "noimgs"
+    empty.mkdir()
+    (empty / "README.txt").write_text("x")
+    with pytest.raises(SystemExit, match="no readable calibration"):
+        load_calibration_dir(empty)
