@@ -88,3 +88,37 @@ def test_decode_all_pallas_matches_jnp(rng):
     out = decode_all_pallas(feats, anchors, [32, 16], 80, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    """utils/cache.py is the ONE cache-enabling point for the CLI and the
+    server: explicit dir > env > HOME default, creates the directory, sets
+    both jax config knobs, and degrades to None (not a crash) when the
+    filesystem refuses — the cache is an optimization, not a dependency."""
+    import jax
+
+    from yolov3_tpu.utils.cache import enable_compile_cache
+
+    before_dir = jax.config.jax_compilation_cache_dir
+    before_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        # explicit arg wins, directory gets created
+        target = tmp_path / "xla" / "nested"
+        got = enable_compile_cache(str(target))
+        assert got == str(target) and target.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(target)
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 1.0
+
+        # env var is the fallback when no explicit dir is passed
+        env_dir = tmp_path / "from_env"
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(env_dir))
+        assert enable_compile_cache() == str(env_dir) and env_dir.is_dir()
+
+        # unwritable target: returns None and leaves the process alive
+        blocker = tmp_path / "blocker"
+        blocker.write_text("a file where the cache dir should go")
+        assert enable_compile_cache(str(blocker / "sub")) is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", before_min)

@@ -135,22 +135,11 @@ def main(argv=None) -> int:
     import jax
 
     if not args.no_compile_cache:
-        import os
-
         # persistent XLA compile cache: repeat CLI runs skip the ~60s TPU
-        # compile (measured 59s -> 7s on tiny@416). Set via jax.config —
-        # the env var is latched before main() runs when a sitecustomize
-        # imports jax at interpreter start.
-        cache_dir = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
-                     or os.path.join(os.path.expanduser("~"), ".cache",
-                                     "yolov3_tpu", "xla"))
-        try:  # purely an optimization: unwritable HOME must not kill the CLI
-            os.makedirs(cache_dir, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              1.0)
-        except OSError:
-            pass
+        # compile (measured 59s -> 7s on tiny@416; utils/cache.py)
+        from .utils.cache import enable_compile_cache
+
+        enable_compile_cache()
 
     if args.device:
         kind, _, idx = args.device.partition(":")

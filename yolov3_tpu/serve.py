@@ -467,7 +467,17 @@ def main(argv=None):
                          "mesh, parallel/sharding.py; pair with "
                          "--batch-window so requests coalesce into "
                          "mesh-wide batches)")
+    ap.add_argument("--no-compile-cache", action="store_true",
+                    help="disable the persistent XLA compilation cache "
+                         "(on by default: a serving RESTART otherwise "
+                         "pays the full TPU compile before its first "
+                         "request — utils/cache.py)")
     args = ap.parse_args(argv)
+
+    if not args.no_compile_cache:
+        from .utils.cache import enable_compile_cache
+
+        enable_compile_cache()
 
     from pathlib import Path
 
