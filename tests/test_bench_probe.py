@@ -93,10 +93,66 @@ def test_fail_row_preserves_partial_rows():
     assert row["rows"] == rows and row["error"] == "wedged"
 
 
+def _retry_args(**kw):
+    import argparse
+
+    ns = argparse.Namespace(probe_timeout=180.0, probe_retry_budget=1800.0,
+                            deadline=3600.0)
+    vars(ns).update(kw)
+    return ns
+
+
+def test_probe_retry_recovers(monkeypatch):
+    # round-4 lesson: a transient relay blip must cost minutes, not the
+    # round's whole bench. Two failures then a recovery → ok, with the
+    # attempt count surfaced for the driver log.
+    import time as _time
+
+    results = iter([(False, "down"), (False, "down"), (True, "axon 1024.0")])
+    sleeps = []
+    monkeypatch.setattr(bench, "device_reachable",
+                        lambda t: next(results))
+    monkeypatch.setattr(_time, "sleep", sleeps.append)
+    monkeypatch.setattr(bench, "_T0", _time.perf_counter())
+    ok, detail = bench._probe_with_retry(_retry_args())
+    assert ok and "recovered on probe attempt 3" in detail
+    assert sleeps == [30.0, 60.0]  # backoff doubles
+
+
+def test_probe_retry_gives_up_within_budget(monkeypatch):
+    # an always-dead relay still produces the error row, and the loop never
+    # schedules an attempt whose worst case (sleep + hung probe) would
+    # overrun the budget — the deadline watchdog must keep its headroom
+    import time as _time
+
+    calls = []
+    monkeypatch.setattr(bench, "device_reachable",
+                        lambda t: (calls.append(t) or (False, "down")))
+    slept = []
+    monkeypatch.setattr(_time, "sleep", slept.append)
+    monkeypatch.setattr(bench, "_T0", _time.perf_counter())
+    # budget admits the first attempt plus exactly one retry
+    # (30 + 180 = 210 <= 230, but the next worst case 60 + 180 = 240 > 230)
+    ok, detail = bench._probe_with_retry(
+        _retry_args(probe_timeout=180.0, probe_retry_budget=230.0,
+                    deadline=0.0))
+    assert not ok and "gave up after" in detail
+    assert len(calls) == 2 and slept == [30.0]
+
+
+def test_probe_retry_budget_zero_is_single_attempt(monkeypatch):
+    calls = []
+    monkeypatch.setattr(bench, "device_reachable",
+                        lambda t: (calls.append(t) or (False, "down")))
+    ok, _ = bench._probe_with_retry(_retry_args(probe_retry_budget=0.0))
+    assert not ok and len(calls) == 1
+
+
 def test_main_fails_fast_with_json_error(monkeypatch, capsys):
     monkeypatch.setattr(bench, "device_reachable",
                         lambda t: (False, "TPU relay down?"))
-    monkeypatch.setattr(sys, "argv", ["bench.py", "--quick"])
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--quick",
+                                      "--probe-retry-budget", "0"])
     with pytest.raises(SystemExit) as e:
         bench.main()
     assert e.value.code == 2
