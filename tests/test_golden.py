@@ -1,14 +1,20 @@
-"""Golden regression fixture: frozen end-to-end detections for a fixed seed.
+"""Golden regression fixtures: frozen end-to-end detections for a fixed seed.
 
-Guards against silent semantic drift (decode math, NMS ordering, preprocess
-geometry, weight folding) without needing the torch oracle — if this fails
-and the change was intentional, regenerate via the script in the fixture's
-git history (tests/data/golden_tiny.json).
+Guard against silent semantic drift (decode math, NMS ordering, preprocess
+geometry, weight folding) without needing the torch oracle — if one fails
+and the change was intentional, regenerate via tools/gen_golden.py and note
+the reason in the commit message.
+
+Two configs (VERDICT r4 item 4): tiny@416 (the original fixture) and full
+yolov3@320 — the latter pins the 75-layer residual/route graph's numerics
+torch-independently; full-model parity otherwise rests entirely on
+tools/torch_ref.py being importable and healthy.
 """
 import json
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -19,17 +25,23 @@ from yolov3_tpu.ops.nms import batched_nms_compact
 from yolov3_tpu.ops.preprocess import preprocess
 from yolov3_tpu.weights import fold_raw, random_raw
 
-GOLDEN = Path(__file__).parent / "data" / "golden_tiny.json"
+DATA = Path(__file__).parent / "data"
 
 
-def test_golden_detections(cfg_paths):
-    golden = json.loads(GOLDEN.read_text())
+@pytest.mark.parametrize("fixture", ["golden_tiny.json",
+                                     "golden_yolov3.json"])
+def test_golden_detections(fixture):
+    golden = json.loads((DATA / fixture).read_text())
 
-    g = load_graph(cfg_paths["yolov3-tiny"])
-    params = jax.tree.map(jnp.asarray, fold_raw(random_raw(g, seed=golden["seed"])))
+    g = load_graph(Path(__file__).parent.parent / "models" / golden["cfg"])
+    params = jax.tree.map(
+        jnp.asarray,
+        fold_raw(random_raw(g, seed=golden["seed"],
+                            scale=golden.get("scale", 1.0))))
     frames = np.random.default_rng(golden["seed"]).integers(
         0, 256, (1, 480, 640, 3), dtype=np.uint8)
-    x = preprocess(jnp.asarray(frames)[..., ::-1], (416, 416))
+    net = golden["net_size"]
+    x = preprocess(jnp.asarray(frames)[..., ::-1], (net, net))
     bx, sc, cl = forward_compact(g, params, x, precision="highest")
     res = batched_nms_compact(bx, sc, cl, prob_thresh=golden["prob_thresh"],
                               iou_thresh=golden["iou_thresh"],
