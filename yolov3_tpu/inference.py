@@ -163,9 +163,16 @@ class Detector:
                         "partition='spatial' needs a make_spatial_mesh() "
                         f"mesh (axis {SPACE_AXIS!r}), got {mesh.axis_names}")
                 if self.net.quantized:
+                    # measured basis: int8 is *slower* than bf16 at
+                    # latency-class batch sizes (79 vs 66 ms serving p50 at
+                    # b<=14, BASELINE.md round-4 serving table) — the int8
+                    # tier is a throughput knob, and spatial partitioning
+                    # is the latency mode; the combination has no use case
                     raise ValueError(
                         "int8 + spatial partitioning is out of scope "
-                        "(parallel/spatial.py — bf16/fp32 only)")
+                        "(parallel/spatial.py — bf16/fp32 only; int8 is a "
+                        "throughput tier, measured slower than bf16 at "
+                        "latency-class batches — BASELINE.md round-4)")
                 self.net.params = jax.device_put(self.net.params,
                                                  replicate(mesh))
             else:
@@ -184,6 +191,17 @@ class Detector:
         # (batch, shape) working sets with headroom
         self._pipelines: "OrderedDict[Tuple, callable]" = OrderedDict()
         self._pipeline_capacity = 16
+        # Per-call stage attribution (seconds), written as ONE dict
+        # assignment after each synchronous detect call: serve.py exposes it
+        # via /stats and /metrics so the host/transport/device split that
+        # tools/bench_serve.py measured externally (round 4: ~85% of the
+        # concurrent cycle in the relay transport) is observable in
+        # production too. Keys: preprocess_s (host letterbox, detect_mixed
+        # only), h2d_s (host→device staging), dispatch_s (async enqueue of
+        # the compiled program — NOT device compute), device_fetch_s (wait
+        # for the device step + the packed-result D2H). Readers must read
+        # from the thread that ran the call (serve's handler/batcher do).
+        self.last_stage_s: Optional[Dict[str, float]] = None
 
     def _pipeline(self, batch: int, src_hw: Tuple[int, int],
                   bgr: Optional[bool] = None):
@@ -529,9 +547,15 @@ class Detector:
         if frames.shape[0] == 0:
             return []
         h, w = frames.shape[1:3]
+        t0 = time.perf_counter()
         device_frames, b, n_real = self._stage_batch(frames)
+        t1 = time.perf_counter()
         res = self._pipeline(b, (h, w))(self.net.params, device_frames)
-        return self._unpack(res, (h, w))[:n_real]
+        t2 = time.perf_counter()
+        out = self._unpack(res, (h, w))[:n_real]
+        self.last_stage_s = {"h2d_s": t1 - t0, "dispatch_s": t2 - t1,
+                             "device_fetch_s": time.perf_counter() - t2}
+        return out
 
     def detect_mixed(self, frames: Sequence[np.ndarray]) -> List[Detection]:
         """Detect in a list of arbitrarily-sized HWC uint8 frames.
@@ -576,9 +600,14 @@ class Detector:
                 for i, d in zip(idxs, dets):
                     out[i] = d
             return out
+        t0 = time.perf_counter()
         canvases = self._build_canvases(frames)
+        pre_s = time.perf_counter() - t0
         src_hws = [f.shape[:2] for f in frames]
-        return self.detect_preletterboxed(canvases, src_hws)
+        out = self.detect_preletterboxed(canvases, src_hws)
+        self.last_stage_s = {"preprocess_s": pre_s,
+                             **(self.last_stage_s or {})}
+        return out
 
     def detect_preletterboxed(self, canvases: np.ndarray,
                               src_hws: Sequence[Tuple[int, int]]
@@ -586,11 +615,17 @@ class Detector:
         """Run the device pipeline on host-preprocessed RGB uint8 canvases
         already at net resolution; rescale each result to its own source."""
         canvases = np.ascontiguousarray(canvases)
+        t0 = time.perf_counter()
         device_frames, b, n_real = self._stage_batch(canvases)
+        t1 = time.perf_counter()
         run = self._pipeline(b, self.net_hw, bgr=False)
         res = run(self.net.params, device_frames)
+        t2 = time.perf_counter()
         dets = self._unpack(res, None)[:n_real]  # net coords
-        return [self._unmap_one(d, hw) for d, hw in zip(dets, src_hws)]
+        out = [self._unmap_one(d, hw) for d, hw in zip(dets, src_hws)]
+        self.last_stage_s = {"h2d_s": t1 - t0, "dispatch_s": t2 - t1,
+                             "device_fetch_s": time.perf_counter() - t2}
+        return out
 
     def warmup(self, batch: int, src_hw: Tuple[int, int],
                host_preprocessed: bool = False) -> "Detector":

@@ -33,9 +33,11 @@ the Amdahl speedup: for yolov3@608 the two regimes together shard
 0.96/0.94/0.92 of conv FLOPs at n=2/4/8 (row-sharding alone reaches only
 0.61/0.37/0.13 — darknet53's cost sits in the /8–/32 stages).
 
-int8 is out of scope here: spatial partitioning targets small-batch
-latency, where the int8 carrier's advantage is marginal (BASELINE.md) and
-bf16 keeps the halo dtype handling trivial.
+int8 is out of scope here by measurement, not assertion: spatial
+partitioning targets small-batch latency, and at latency-class batch
+sizes int8 is *slower* than bf16 (79 vs 66 ms serving p50 at b≤14 —
+BASELINE.md round-4 serving table: "the int8 tier is a throughput knob,
+not a latency knob"); bf16 also keeps the halo dtype handling trivial.
 """
 from __future__ import annotations
 

@@ -10,9 +10,11 @@ Stdlib-only HTTP server: POST an encoded image (JPEG/PNG bytes) to ``/detect``
     curl -s --data-binary @dog.jpg localhost:8500/detect | jq .
 
 Endpoints: ``POST /detect`` (image bytes → detections),
-``GET /healthz`` (readiness), ``GET /stats`` (JSON counters/latency),
-``GET /metrics`` (Prometheus text: latency histogram, error counters,
-coalesced-batch-size distribution, queue depth, uptime).
+``GET /healthz`` (readiness), ``GET /stats`` (JSON counters/latency +
+per-stage attribution: decode/queue-wait per request, the Detector's
+preprocess/h2d/dispatch/device-fetch split per device batch),
+``GET /metrics`` (Prometheus text: latency histogram, per-stage summaries,
+error counters, coalesced-batch-size distribution, queue depth, uptime).
 
 Two modes:
 
@@ -67,6 +69,26 @@ class _Stats:
         self.started = time.time()
         self.lat_buckets = [0] * (len(_LAT_BUCKETS) + 1)  # last = +Inf
         self.batch_sizes: dict = {}  # coalesced device batch size -> count
+        # per-stage attribution (VERDICT r4 item 6): sum/count of seconds
+        # per stage name. decode_s/queue_wait_s are per REQUEST;
+        # preprocess_s/h2d_s/dispatch_s/device_fetch_s (Detector.last_stage_s)
+        # are per DEVICE BATCH — counts differ under micro-batching.
+        self.stage_sum: dict = {}
+        self.stage_count: dict = {}
+
+    def record_stages(self, stages: dict):
+        with self._lock:
+            for k, v in stages.items():
+                self.stage_sum[k] = self.stage_sum.get(k, 0.0) + v
+                self.stage_count[k] = self.stage_count.get(k, 0) + 1
+
+    def stage_summary(self) -> dict:
+        """{stage: {mean_ms, count}} — the /stats JSON form."""
+        with self._lock:
+            return {k: {"mean_ms": round(self.stage_sum[k] * 1e3
+                                         / self.stage_count[k], 3),
+                        "count": self.stage_count[k]}
+                    for k in sorted(self.stage_sum)}
 
     def record(self, latency: float):
         import bisect
@@ -93,6 +115,8 @@ class _Stats:
             lat_sum = self.total_latency
             buckets = list(self.lat_buckets)
             sizes = dict(self.batch_sizes)
+            st_sum = dict(self.stage_sum)
+            st_cnt = dict(self.stage_count)
             uptime = time.time() - self.started
         out = [
             "# HELP yolov3_requests_total Successful /detect requests.",
@@ -122,6 +146,19 @@ class _Stats:
         for size in sorted(sizes):
             out.append(f'yolov3_device_batches_total{{size="{size}"}} '
                        f'{sizes[size]}')
+        if st_sum:
+            out += [
+                "# HELP yolov3_stage_seconds Per-stage serving time: "
+                "decode_s/queue_wait_s per request; preprocess_s/h2d_s/"
+                "dispatch_s/device_fetch_s per device batch (async dispatch "
+                "puts device compute in device_fetch_s).",
+                "# TYPE yolov3_stage_seconds summary",
+            ]
+            for k in sorted(st_sum):
+                out.append(f'yolov3_stage_seconds_sum{{stage="{k}"}} '
+                           f'{st_sum[k]:.6f}')
+                out.append(f'yolov3_stage_seconds_count{{stage="{k}"}} '
+                           f'{st_cnt[k]}')
         if queue_depth is not None:
             out += [
                 "# HELP yolov3_queue_depth Requests waiting in the "
@@ -168,7 +205,7 @@ class MicroBatcher:
         done = threading.Event()
         slot: dict = {}
         try:
-            self._q.put_nowait((frame, done, slot))
+            self._q.put_nowait((frame, done, slot, time.perf_counter()))
         except queue_mod.Full:
             raise MicroBatcher.Overloaded("serving queue full") from None
         if not done.wait(timeout):
@@ -204,13 +241,19 @@ class MicroBatcher:
                 frames = frames + [frames[-1]] * pad
             if self.stats is not None:
                 self.stats.record_batch(len(batch))  # real requests, not pad
+                now = time.perf_counter()
+                for item in batch:  # enqueue → batch-assembled, per request
+                    self.stats.record_stages({"queue_wait_s": now - item[3]})
             try:
                 results = self.detector.detect_mixed(frames)[:len(batch)]
-                for (_, done, slot), res in zip(batch, results):
+                if self.stats is not None and self.detector.last_stage_s:
+                    # one observation per device batch (not per request)
+                    self.stats.record_stages(self.detector.last_stage_s)
+                for (_, done, slot, _), res in zip(batch, results):
                     slot["result"] = res
                     done.set()
             except Exception as e:  # noqa: BLE001 - worker boundary
-                for _, done, slot in batch:
+                for _, done, slot, _ in batch:
                     slot["error"] = str(e)
                     done.set()
 
@@ -221,7 +264,7 @@ class MicroBatcher:
         self._thread.join(timeout=5.0)
         while True:
             try:
-                _, done, slot = self._q.get_nowait()
+                _, done, slot, _ = self._q.get_nowait()
             except queue_mod.Empty:
                 break
             slot["error"] = "batcher stopped"
@@ -284,6 +327,9 @@ def make_handler(detector, class_names, stats: _Stats,
                 self._json(200, {
                     "requests": stats.requests, "errors": stats.errors,
                     "mean_latency_ms": round(mean * 1e3, 2),
+                    # per-stage attribution (decode/queue_wait per request;
+                    # preprocess/h2d/dispatch/device_fetch per device batch)
+                    "stages": stats.stage_summary(),
                     "uptime_s": round(time.time() - stats.started, 1)})
             else:
                 self._json(404, {"error": "unknown path"})
@@ -302,6 +348,7 @@ def make_handler(detector, class_names, stats: _Stats,
                                      cv2.IMREAD_COLOR)
                 if frame is None:
                     raise ValueError("could not decode image")
+                decode_s = time.perf_counter() - t0
             except Exception as e:  # noqa: BLE001 - request validation
                 stats.record_error()
                 self._json(400, {"error": str(e)})
@@ -313,9 +360,14 @@ def make_handler(detector, class_names, stats: _Stats,
                 # single-threaded server)
                 if batcher is not None:
                     det = batcher.detect(frame)
+                    stats.record_stages({"decode_s": decode_s})
                 else:
                     stats.record_batch(1)
                     (det,) = detector.detect_mixed([frame])
+                    # single-threaded mode: this thread ran the detect, so
+                    # last_stage_s is this request's split
+                    stats.record_stages({"decode_s": decode_s,
+                                         **(detector.last_stage_s or {})})
                 out = [{
                     "bbox_tlbr": [round(float(v), 2) for v in box],
                     "score": round(float(s), 4),
@@ -457,7 +509,10 @@ def main(argv=None):
                     help="NMS working set per image (default: the "
                          "Detector's auto preset — 256 for small graphs, "
                          "512 otherwise; results change only on images "
-                         "where more than K candidates pass --prob-thresh)")
+                         "where more than K candidates pass --prob-thresh). "
+                         "Latency-insensitive tiny deployments: 128 "
+                         "measured +25%% over the preset (BASELINE.md "
+                         "round-4 K sweep)")
     ap.add_argument("--max-results", type=int, default=128,
                     help="max returned detections per image (0 = all "
                          "top-k survivors); also sizes the per-image "
