@@ -702,3 +702,22 @@ def test_top_k_auto_preset_policy(tiny_weights, cfg_paths):
     assert Detector(net, top_k=128).top_k == 128  # explicit override
     g = load_graph(cfg_paths["yolov3"])
     assert g.num_detections(608, 608) == 22743  # full model: never preset
+
+
+def test_cli_quantize_int8_percentile(tiny_weights, sample_images, cfg_paths,
+                                      models_dir, tmp_path, capsys):
+    """The --quantize-int8 CLI path end-to-end, including the round-5
+    --calib-method/--calib-percentile knobs: calibrate on a directory,
+    detect with the int8 tier, write the output image."""
+    out = tmp_path / "out_q.jpg"
+    rc = _cli(["--image", sample_images[1][0],
+               "--config", cfg_paths["yolov3-tiny"],
+               "--weights", tiny_weights,
+               "--class-names", os.path.join(models_dir, "coco.names"),
+               "--no-show", "--output", str(out), "--verbose",
+               "--net-size", "160",
+               "--quantize-int8", sample_images[0],
+               "--calib-method", "percentile", "--calib-percentile", "99.5"])
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 1000
+    assert "int8-quantized" in capsys.readouterr().out

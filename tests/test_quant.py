@@ -533,3 +533,89 @@ def test_load_calibration_dir(tmp_path):
     (empty / "README.txt").write_text("x")
     with pytest.raises(SystemExit, match="no readable calibration"):
         load_calibration_dir(empty)
+
+
+def test_percentile_calibration_scales_bounded_by_absmax(setup):
+    """Percentile scales never exceed absmax scales (|t|'s q-th percentile
+    <= its max), and q=100 reproduces absmax exactly."""
+    from yolov3_tpu.quant import calibrate_tensors
+
+    g, params, x = setup
+    s_max = calibrate_tensors(g, params, [x], precision=None)
+    s_p = calibrate_tensors(g, params, [x], precision=None,
+                            method="percentile", percentile=99.0)
+    s_p100 = calibrate_tensors(g, params, [x], precision=None,
+                               method="percentile", percentile=100.0)
+    assert set(s_p) == set(s_max)
+    tol = 1e-6
+    assert all(s_p[i] <= s_max[i] + tol for i in s_max)
+    # a large activation tensor at q=99 must actually truncate the tail
+    assert any(s_p[i] < s_max[i] * 0.999 for i in s_max)
+    for i in s_max:
+        np.testing.assert_allclose(s_p100[i], s_max[i], rtol=1e-5)
+
+    s_conv_max = calibrate(g, params, [x], precision=None)
+    s_conv_p = calibrate(g, params, [x], precision=None,
+                         method="percentile", percentile=99.0)
+    assert set(s_conv_p) == set(s_conv_max)
+    assert all(s_conv_p[i] <= s_conv_max[i] + tol for i in s_conv_max)
+
+
+def test_percentile_calibration_carrier_parity(setup):
+    """The int8 carrier under percentile-99.9 calibration holds the same
+    pre-NMS gate as absmax (the clipped tail is rarer than the gate's
+    top-200 candidates care about on this distribution)."""
+    from yolov3_tpu.quant import calibrate_tensors
+
+    g, params, x = setup
+    s_tens = calibrate_tensors(g, params, [x], precision=None,
+                               method="percentile", percentile=99.9)
+    q = quantize_weights(g, params)
+
+    b32, s32, c32 = forward_compact(g, params, x)
+    bq, sq, cq = forward_compact_int8(g, q, s_tens, x, precision=None,
+                                      carrier="int8")
+    s32n, sqn = np.asarray(s32), np.asarray(sq)
+    b32n, bqn = np.asarray(b32), np.asarray(bq)
+    c32n, cqn = np.asarray(c32), np.asarray(cq)
+    for i in range(x.shape[0]):
+        top = np.argsort(s32n[i])[::-1][:200]
+        assert np.abs(s32n[i][top] - sqn[i][top]).max() <= 0.01
+        assert np.abs(b32n[i][top] - bqn[i][top]).max() <= 0.5
+        assert (c32n[i][top] == cqn[i][top]).all()
+
+
+def test_calibration_method_validation(setup):
+    from yolov3_tpu.quant import calibrate_tensors
+
+    g, params, x = setup
+    with pytest.raises(ValueError, match="unknown calibration method"):
+        calibrate_tensors(g, params, [x], precision=None, method="entropy")
+    with pytest.raises(ValueError, match="percentile must be"):
+        calibrate_tensors(g, params, [x], precision=None,
+                          method="percentile", percentile=0.0)
+
+
+def test_quantize_int8_calib_method_plumbing(setup, cfg_paths, tmp_path):
+    """Darknet.quantize_int8(calib_method=...) reaches the calibrators:
+    percentile scales come out <= the absmax ones on the same frames."""
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.weights import random_raw, write_weights
+
+    g, _, _ = setup
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=3))
+    rng = np.random.default_rng(1)
+    calib = rng.integers(0, 256, (4, 240, 320, 3), dtype=np.uint8)
+
+    nets = {}
+    for method in ("absmax", "percentile"):
+        net = Darknet(cfg_paths["yolov3-tiny"], precision=None)
+        net.load_weights(wpath)
+        net.quantize_int8(calib, net_hw=(160, 160), calib_method=method,
+                          calib_percentile=99.0)
+        nets[method] = net
+    s_max, s_p = nets["absmax"].act_scales, nets["percentile"].act_scales
+    assert set(s_p) == set(s_max)
+    assert all(s_p[i] <= s_max[i] + 1e-6 for i in s_max)
+    assert any(s_p[i] < s_max[i] * 0.999 for i in s_max)

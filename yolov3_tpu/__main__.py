@@ -91,6 +91,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quantize-int8", metavar="CALIB_DIR", default=None,
                    help="post-training int8 quantization, calibrated on the "
                         "images in CALIB_DIR (~1.3x bf16 throughput)")
+    p.add_argument("--calib-method", choices=("absmax", "percentile"),
+                   default="absmax",
+                   help="activation-scale statistic for --quantize-int8: "
+                        "absmax (never clips) or percentile (clips rare "
+                        "outliers for finer int8 resolution elsewhere)")
+    p.add_argument("--calib-percentile", type=float, default=99.9,
+                   help="percentile q for --calib-method percentile")
     p.add_argument("--conv-impl", choices=("xla", "pallas"), default="xla",
                    help="conv backend for eligible 3x3 layers")
     p.add_argument("--nms-impl", choices=("xla", "pallas"), default="xla",
@@ -175,7 +182,9 @@ def main(argv=None) -> int:
         calib = load_calibration_dir(args.quantize_int8)
         size = (args.net_size, args.net_size) if args.net_size else None
         # calibration must use the SAME preprocessing as serving
-        net.quantize_int8(calib, net_hw=size, mode=args.resize_mode)
+        net.quantize_int8(calib, net_hw=size, mode=args.resize_mode,
+                          calib_method=args.calib_method,
+                          calib_percentile=args.calib_percentile)
         if args.verbose:
             print(f"int8-quantized with {len(calib)} calibration images")
 

@@ -375,7 +375,9 @@ class Darknet:
     def quantize_int8(self, calibration_frames, net_hw=None,
                       mode: str = "letterbox", carrier: str = "int8",
                       quantize_heads: bool = False,
-                      quantize_stem: bool = False) -> "Darknet":
+                      quantize_stem: bool = False,
+                      calib_method: str = "absmax",
+                      calib_percentile: float = 99.9) -> "Darknet":
         """Post-training int8 quantization (see ``quant.py``).
 
         ``calibration_frames``: (N, H, W, 3) uint8 RGB frames (a few dozen
@@ -387,7 +389,12 @@ class Darknet:
         each conv input (round-1 scheme). Both hold the same parity gates
         (tests/test_quant.py). ``quantize_heads=True`` also quantizes the
         no-BN head projections; ``quantize_stem=True`` quantizes the Cin=3
-        stem conv via the exact-u8 input scheme (see ``quant.eligible``)."""
+        stem conv via the exact-u8 input scheme (see ``quant.eligible``).
+
+        ``calib_method``: ``"absmax"`` (default) or ``"percentile"`` with
+        ``calib_percentile`` (default 99.9) — the standard PTQ outlier
+        guard; see ``quant._make_stat_fn`` for the exact semantics and the
+        saturation contract that makes it safe."""
         from .ops.preprocess import preprocess
         from .quant import calibrate, calibrate_tensors, quantize_weights
 
@@ -422,12 +429,14 @@ class Darknet:
         if carrier == "int8":
             self.act_scales = calibrate_tensors(
                 self.graph, self.params, batches,
-                precision=self.precision or "bf16")
+                precision=self.precision or "bf16",
+                method=calib_method, percentile=calib_percentile)
         else:
             self.act_scales = calibrate(
                 self.graph, self.params, batches,
                 precision=self.precision or "bf16",
-                include_heads=quantize_heads)
+                include_heads=quantize_heads,
+                method=calib_method, percentile=calib_percentile)
         self.qcarrier = carrier
         self.qparams = quantize_weights(self.graph, self.params,
                                         include_heads=quantize_heads,

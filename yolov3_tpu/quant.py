@@ -644,14 +644,44 @@ def forward_packed_fused_int8(graph: Graph, qparams, scales, x,
         prob_thresh=prob_thresh)
 
 
+def _make_stat_fn(method: str, percentile: float):
+    """Per-tensor calibration statistic (runs inside the jitted pass).
+
+    ``absmax`` (default): the tensor's abs-max — the round-1/2 scheme; never
+    clips, but one outlier activation stretches the scale and wastes int8
+    resolution on the whole tensor.
+
+    ``percentile``: the q-th percentile of |t| — the standard PTQ outlier
+    guard (TensorRT/ORT expose the same knob); values above the scale
+    SATURATE (every quantize site here is a clipped round, ``_quantize_to``
+    / ``_conv_int8_core``), trading rare clipped outliers for finer
+    resolution everywhere else. Aggregation across calibration batches is
+    max-of-per-batch-percentiles — a conservative approximation of the
+    dataset percentile that needs no cross-batch histogram state.
+    """
+    if method == "absmax":
+        return lambda t: jnp.max(jnp.abs(t))
+    if method == "percentile":
+        if not 0.0 < percentile <= 100.0:
+            raise ValueError(f"percentile must be in (0, 100], "
+                             f"got {percentile}")
+        return lambda t: jnp.percentile(jnp.abs(t), percentile)
+    raise ValueError(f"unknown calibration method {method!r} "
+                     "(expected 'absmax' or 'percentile')")
+
+
 def calibrate(graph: Graph, params, batches, precision: Optional[str] = "bf16",
-              include_heads: bool = False) -> Dict[int, float]:
+              include_heads: bool = False, method: str = "absmax",
+              percentile: float = 99.9) -> Dict[int, float]:
     """Run calibration batches through the fp/bf16 graph recording the
-    abs-max input of every eligible conv; returns {conv index: scale}.
+    abs-max (or ``method="percentile"`` q-th percentile, see
+    :func:`_make_stat_fn`) input of every eligible conv; returns
+    {conv index: scale}.
 
     ``batches``: iterable of (B, H, W, C) float arrays in [0, 1] (already
     preprocessed — use the same letterbox the serving path uses).
     """
+    stat = _make_stat_fn(method, percentile)
     indices = [n.index for n in graph.conv_nodes
                if eligible(graph, n, include_heads)]
 
@@ -664,8 +694,7 @@ def calibrate(graph: Graph, params, batches, precision: Optional[str] = "bf16",
         for node in graph.nodes:
             if node.kind == "convolutional":
                 if node.index in indices:
-                    maxima[node.index] = jnp.max(
-                        jnp.abs(prev.astype(jnp.float32)))
+                    maxima[node.index] = stat(prev.astype(jnp.float32))
                 qp = {"w": params[node.index]["w"],
                       "b": params[node.index]["b"]}
                 out = _conv_bf16(prev, node, qp, prec)
@@ -698,13 +727,17 @@ def calibrate(graph: Graph, params, batches, precision: Optional[str] = "bf16",
 
 
 def calibrate_tensors(graph: Graph, params, batches,
-                      precision: Optional[str] = "bf16") -> Dict[int, float]:
+                      precision: Optional[str] = "bf16",
+                      method: str = "absmax",
+                      percentile: float = 99.9) -> Dict[int, float]:
     """Per-TENSOR calibration for the int8 activation carrier: run the
-    fp/bf16 graph over calibration batches recording the abs-max of EVERY
-    node's output; returns {node index: scale}. A conv's input scale is its
-    input tensor's scale, so this is a superset of :func:`calibrate`'s
-    per-conv-input view (the input of conv i IS the output of node
-    ``inputs[0]``)."""
+    fp/bf16 graph over calibration batches recording the abs-max (or
+    ``method="percentile"`` q-th percentile, see :func:`_make_stat_fn`) of
+    EVERY node's output; returns {node index: scale}. A conv's input scale
+    is its input tensor's scale, so this is a superset of
+    :func:`calibrate`'s per-conv-input view (the input of conv i IS the
+    output of node ``inputs[0]``)."""
+    stat = _make_stat_fn(method, percentile)
 
     def absmax_pass(params, x):
         prec = _PRECISIONS[precision]
@@ -731,7 +764,7 @@ def calibrate_tensors(graph: Graph, params, batches,
                        else jnp.concatenate(srcs, axis=-1))
             else:
                 out = prev
-            maxima[node.index] = jnp.max(jnp.abs(out.astype(jnp.float32)))
+            maxima[node.index] = stat(out.astype(jnp.float32))
             if node.index in needed:
                 cache[node.index] = out
             prev = out

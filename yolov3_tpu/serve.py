@@ -494,6 +494,12 @@ def main(argv=None):
     ap.add_argument("--quantize-int8", metavar="CALIB_DIR", default=None,
                     help="serve the int8 PTQ tier, calibrated on the images "
                          "in CALIB_DIR (same scheme as the main CLI)")
+    ap.add_argument("--calib-method", choices=("absmax", "percentile"),
+                    default="absmax",
+                    help="activation-scale statistic for --quantize-int8 "
+                         "(see the main CLI)")
+    ap.add_argument("--calib-percentile", type=float, default=99.9,
+                    help="percentile q for --calib-method percentile")
     ap.add_argument("--block-impl", choices=("xla", "pallas"),
                     default="xla",
                     help="residual-block backend on the int8 path (pallas = "
@@ -548,7 +554,9 @@ def main(argv=None):
         from .quant import load_calibration_dir
 
         net.quantize_int8(load_calibration_dir(args.quantize_int8),
-                          net_hw=net_hw)
+                          net_hw=net_hw,
+                          calib_method=args.calib_method,
+                          calib_percentile=args.calib_percentile)
     mesh = None
     if args.devices > 1:
         from .parallel.sharding import make_mesh
