@@ -256,6 +256,26 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
     return max(blocks), blocks
 
 
+def latency_row(lat_ms, rtt_p50, batch):
+    """One latency-summary row from per-sample dispatch times.
+
+    The chip-time estimate only means something when the null-program RTT
+    control is BELOW the measured dispatch; on congested-relay days the
+    control can exceed it (2026-08-20: control 72.4 ms vs b1 dispatch
+    40.1 ms) and a clamped 0.0 would read as "zero chip time" — report
+    null + a congestion flag instead.
+    """
+    p50 = float(np.percentile(lat_ms, 50))
+    congested = rtt_p50 > p50
+    return {
+        "p50_ms": round(p50, 2),
+        "p90_ms": round(float(np.percentile(lat_ms, 90)), 2),
+        "chip_ms_est": None if congested else round(p50 - rtt_p50, 2),
+        "rtt_congested": congested,
+        "img_s_sync": round(batch / p50 * 1e3, 1),
+    }
+
+
 def measure_latency(graph, params, size, batches=(1, 8, 32), n=20,
                     precision="bf16", prob_thresh=0.05, fused_heads=False,
                     select_group=2):
@@ -321,13 +341,7 @@ def measure_latency(graph, params, size, batches=(1, 8, 32), n=20,
             t0 = time.perf_counter()
             float(run(dev_params, f)[0])
             lat.append((time.perf_counter() - t0) * 1e3)
-        p50 = float(np.percentile(lat, 50))
-        rows[f"b{b}"] = {
-            "p50_ms": round(p50, 2),
-            "p90_ms": round(float(np.percentile(lat, 90)), 2),
-            "chip_ms_est": round(max(p50 - rtt_p50, 0.0), 2),
-            "img_s_sync": round(b / p50 * 1e3, 1),
-        }
+        rows[f"b{b}"] = latency_row(lat, rtt_p50, b)
     return rtt_p50, rows
 
 
@@ -578,6 +592,7 @@ def _run(args):
                       f"{lat_prec} e2e inference",
             "value": lrows["b1"]["p50_ms"],
             "unit": "ms",
+            # None when the relay was congested (rtt_congested in the row)
             "vs_baseline": lrows["b1"]["chip_ms_est"],
             "relay_rtt_p50_ms": round(rtt_p50, 2),
             "rows": lrows,

@@ -163,3 +163,18 @@ def test_main_fails_fast_with_json_error(monkeypatch, capsys):
     # (model@size batch precision) so the error row joins BASELINE.json
     assert "yolov3-tiny@416" in row["metric"]
     assert "batch8" in row["metric"] and "bf16" in row["metric"]
+
+
+def test_latency_row_congestion_semantics():
+    """chip_ms_est is the p50-minus-RTT-control split when the control is
+    sane, and null + rtt_congested when the control exceeds the dispatch
+    (congested relay — a clamped 0.0 would read as 'zero chip time')."""
+    lat = [46.0, 46.1, 46.2, 45.9, 46.0]
+    row = bench.latency_row(lat, rtt_p50=37.3, batch=1)
+    assert row["rtt_congested"] is False
+    assert abs(row["chip_ms_est"] - (row["p50_ms"] - 37.3)) < 0.02
+    assert row["img_s_sync"] == pytest.approx(1000.0 / row["p50_ms"], rel=0.01)
+
+    row = bench.latency_row(lat, rtt_p50=72.4, batch=1)
+    assert row["rtt_congested"] is True
+    assert row["chip_ms_est"] is None
