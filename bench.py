@@ -457,12 +457,15 @@ def main():
                          "outage forfeited BENCH_r04.json). Bounded by "
                          "--deadline minus headroom for the run itself; 0 "
                          "restores single-attempt behavior")
-    ap.add_argument("--deadline", type=float, default=3600.0,
+    ap.add_argument("--deadline", type=float, default=5400.0,
                     help="whole-run wall-clock deadline in seconds; if the "
                          "relay dies MID-run the next sync fetch hangs "
                          "forever, so a watchdog aborts with an error line "
-                         "instead (healthy full runs finish well under "
-                         "30 min); 0 disables")
+                         "(which preserves the rows already measured) "
+                         "instead. Default 90 min: the round-5 full matrix "
+                         "measured 48 min on a healthy-but-noisy relay day, "
+                         "so the old 3600 s left no headroom for a probe "
+                         "retry or mid-run congestion; 0 disables")
     args = ap.parse_args()
 
     if args.select_group < 2:
