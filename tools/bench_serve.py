@@ -57,6 +57,14 @@ def _post(url, data, timeout=120.0):
     return (time.perf_counter() - t0) * 1e3, payload
 
 
+def _stages(base):
+    """The server's own per-request stage attribution (/stats, round 5) —
+    the in-server counterpart of this bench's external timing, so the
+    transport-vs-device split is observable from the server itself."""
+    with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+        return json.loads(r.read()).get("stages", {})
+
+
 def _metrics(base):
     with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
         return r.read().decode()
@@ -168,7 +176,8 @@ def main():
         out = {"mode": "sequential", "server": name,
                "max_results": args.max_results,
                "src_hw": args.src_hw, "requests": len(lat), "errors": errs,
-               **pct(lat), "req_s": round(len(lat) / wall, 2)}
+               **pct(lat), "req_s": round(len(lat) / wall, 2),
+               "stages": _stages(base)}
         print(json.dumps(out), flush=True)
         srv.shutdown()
 
@@ -187,7 +196,7 @@ def main():
                "max_results": args.max_results,
                "requests": len(lat), "errors": errs,
                **pct(lat), "req_s": round(len(lat) / wall, 2),
-               "batch_size_hist_le": hist}
+               "batch_size_hist_le": hist, "stages": _stages(base)}
         print(json.dumps(out), flush=True)
         srv.shutdown()
 
