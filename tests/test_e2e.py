@@ -721,3 +721,69 @@ def test_cli_quantize_int8_percentile(tiny_weights, sample_images, cfg_paths,
     assert rc == 0
     assert out.exists() and out.stat().st_size > 1000
     assert "int8-quantized" in capsys.readouterr().out
+
+def test_cli_quant_state_cache(tiny_weights, sample_images, cfg_paths,
+                               models_dir, tmp_path, capsys):
+    """--quant-state cache semantics end-to-end: first run calibrates and
+    saves the state; second run loads it WITHOUT --quantize-int8 and
+    produces the identical detections; a missing state file without a
+    calibration dir is a one-line user error."""
+    qs = tmp_path / "tiny.quant.npz"
+    base = ["--image", sample_images[1][0],
+            "--config", cfg_paths["yolov3-tiny"],
+            "--weights", tiny_weights,
+            "--class-names", os.path.join(models_dir, "coco.names"),
+            "--no-show", "--verbose", "--net-size", "160",
+            "--quant-state", str(qs)]
+    rc = _cli(base + ["--quantize-int8", sample_images[0],
+                      "--output", str(tmp_path / "o1.jpg")])
+    assert rc == 0 and qs.exists()
+    out1 = capsys.readouterr().out
+    assert "saved int8 quantization state" in out1
+
+    rc = _cli(base + ["--output", str(tmp_path / "o2.jpg")])
+    assert rc == 0
+    out2 = capsys.readouterr().out
+    assert "loaded int8 quantization state" in out2
+    # identical detection lines (the printed table includes boxes+scores)
+    det1 = [ln for ln in out1.splitlines() if "tlbr=" in ln]
+    det2 = [ln for ln in out2.splitlines() if "tlbr=" in ln]
+    assert det1 and det1 == det2
+
+    with pytest.raises(SystemExit, match="file not found"):
+        _cli(["--image", sample_images[1][0],
+              "--config", cfg_paths["yolov3-tiny"],
+              "--weights", tiny_weights, "--no-show",
+              "--quant-state", str(tmp_path / "nope.npz")])
+
+def test_cli_save_json(tiny_weights, sample_images, cfg_paths, models_dir,
+                       tmp_path, capsys):
+    """--save-json end-to-end on the directory path: every printed
+    detection lands in the JSON with image ids, contiguous category ids,
+    names, and COCO xywh boxes inside the source frame; stream sources
+    reject the flag with a one-line error."""
+    import json
+
+    out = tmp_path / "dets.json"
+    rc = _cli(["--image-dir", sample_images[0],
+               "--config", cfg_paths["yolov3-tiny"],
+               "--weights", tiny_weights,
+               "--class-names", os.path.join(models_dir, "coco.names"),
+               "--no-show", "--net-size", "160",
+               "--prob-thresh", "0.3", "--save-json", str(out)])
+    assert rc == 0
+    assert "wrote" in capsys.readouterr().out
+    dets = json.loads(out.read_text())
+    assert dets, "expected detections at prob 0.3 with synthetic weights"
+    names = {os.path.basename(p) for p in sample_images[1]}
+    for d in dets:
+        assert d["image_id"] in names
+        assert 0 <= d["category_id"] < 80 and d["category_name"]
+        x, y, w, h = d["bbox"]
+        assert w >= 0 and h >= 0 and 0 <= d["score"] <= 1
+
+    with pytest.raises(SystemExit, match="save-json needs"):
+        _cli(["--video", "whatever.mp4",
+              "--config", cfg_paths["yolov3-tiny"],
+              "--weights", tiny_weights, "--no-show",
+              "--save-json", str(out)])

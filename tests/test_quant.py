@@ -619,3 +619,170 @@ def test_quantize_int8_calib_method_plumbing(setup, cfg_paths, tmp_path):
     assert set(s_p) == set(s_max)
     assert all(s_p[i] <= s_max[i] + 1e-6 for i in s_max)
     assert any(s_p[i] < s_max[i] * 0.999 for i in s_max)
+
+def test_bias_correct_structure(setup):
+    """bias_correct is a pure qparams rewrite: new dict, only the biases of
+    QUANTIZED convs change, quantized weights/scales are shared untouched."""
+    from yolov3_tpu.quant import bias_correct, calibrate_tensors
+
+    g, params, x = setup
+    scales = calibrate_tensors(g, params, [x], precision=None)
+    q = quantize_weights(g, params)
+    qc = bias_correct(g, params, q, scales, [x], carrier="int8",
+                      precision=None)
+    assert qc is not q
+    for i, qp in q.items():
+        if "wq" in qp:
+            assert qc[i]["wq"] is qp["wq"] and qc[i]["sw"] is qp["sw"]
+            assert not np.allclose(np.asarray(qc[i]["b"]),
+                                   np.asarray(qp["b"]))
+        else:  # unquantized convs pass through by identity
+            assert qc[i] is qp
+
+
+@pytest.mark.parametrize("method,pct", [("absmax", 99.9),
+                                        ("percentile", 99.0)])
+def test_bias_correct_channel_mean_exactness(setup, method, pct):
+    """Defining property (DFQ §4): after correction, the int8 conv's
+    per-channel pre-activation MEAN matches fp32's on the calibration set —
+    up to the spatially-constant-mean approximation (edge taps), measured
+    ≤1% of the uncorrected shift at 416² (ratio ~0.006 both methods)."""
+    from jax import lax
+
+    from yolov3_tpu.quant import (_calibration_walk, bias_correct,
+                                  calibrate_tensors)
+
+    g, params, x = setup
+    scales = calibrate_tensors(g, params, [x], precision=None,
+                               method=method, percentile=pct)
+    q = quantize_weights(g, params)
+    qc = bias_correct(g, params, q, scales, [x], carrier="int8",
+                      precision=None)
+
+    store = {}
+    _calibration_walk(g, params, x, None,
+                      lambda node, inp, out:
+                      store.__setitem__("x", inp) if node.index == 2
+                      else None)
+    x2 = store["x"].astype(jnp.float32)
+    node = g.nodes[2]
+    pad = node.size // 2
+    dn = ("NHWC", "HWIO", "NHWC")
+    y32 = lax.conv_general_dilated(
+        x2, params[2]["w"].astype(jnp.float32), (1, 1),
+        [(pad, pad), (pad, pad)], dimension_numbers=dn) \
+        + params[2]["b"].astype(jnp.float32)
+    s = scales[node.inputs[0]]
+    xq = jnp.clip(jnp.round(x2 / s), -127, 127) * s
+    yq = lax.conv_general_dilated(
+        xq, q[2]["wq"].astype(jnp.float32) * q[2]["sw"], (1, 1),
+        [(pad, pad), (pad, pad)], dimension_numbers=dn)
+    m32 = np.asarray(y32.mean(axis=(0, 1, 2)), np.float64)
+    mq = np.asarray(yq.mean(axis=(0, 1, 2)), np.float64)
+    err_un = np.abs(mq + np.asarray(q[2]["b"]) - m32).mean()
+    err_co = np.abs(mq + np.asarray(qc[2]["b"]) - m32).mean()
+    assert err_co < 0.05 * err_un, (err_co, err_un)
+
+
+def test_bias_correct_carrier_prenms_parity(setup):
+    """Default-on regression guard: the corrected int8 carrier pipeline
+    holds the same pre-NMS bars vs fp32 as the uncorrected one
+    (tests above) — correction must never WORSEN absmax parity."""
+    from yolov3_tpu.model import forward_compact
+    from yolov3_tpu.quant import bias_correct, calibrate_tensors
+
+    g, params, x = setup
+    scales = calibrate_tensors(g, params, [x], precision=None)
+    q = bias_correct(g, params, quantize_weights(g, params), scales, [x],
+                     carrier="int8", precision=None)
+    b32, s32, c32 = forward_compact(g, params, x)
+    bq, sq, cq = forward_compact_int8(g, q, scales, x, precision=None,
+                                      carrier="int8")
+    s32n, sqn = np.asarray(s32), np.asarray(sq)
+    b32n, bqn = np.asarray(b32), np.asarray(bq)
+    c32n, cqn = np.asarray(c32), np.asarray(cq)
+    for i in range(x.shape[0]):
+        top = np.argsort(s32n[i])[::-1][:200]
+        assert np.abs(s32n[i][top] - sqn[i][top]).max() <= 0.01
+        assert np.abs(b32n[i][top] - bqn[i][top]).max() <= 0.5
+        assert (c32n[i][top] == cqn[i][top]).all()
+
+
+def test_quantize_int8_bias_correct_plumbing(setup, cfg_paths, tmp_path):
+    """Darknet.quantize_int8 applies bias correction BY DEFAULT;
+    bias_correct=False opts out (different biases, same wq)."""
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.weights import random_raw, write_weights
+
+    g, _, _ = setup
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=3))
+    rng = np.random.default_rng(1)
+    calib = rng.integers(0, 256, (4, 240, 320, 3), dtype=np.uint8)
+
+    nets = {}
+    for bc in (True, False):
+        net = Darknet(cfg_paths["yolov3-tiny"], precision=None)
+        net.load_weights(wpath)
+        net.quantize_int8(calib, net_hw=(160, 160), bias_correct=bc)
+        nets[bc] = net
+    i = next(i for i, qp in nets[True].qparams.items() if "wq" in qp)
+    assert np.array_equal(np.asarray(nets[True].qparams[i]["wq"]),
+                          np.asarray(nets[False].qparams[i]["wq"]))
+    assert not np.allclose(np.asarray(nets[True].qparams[i]["b"]),
+                           np.asarray(nets[False].qparams[i]["b"]))
+
+def test_quant_state_save_load_roundtrip(setup, cfg_paths, tmp_path):
+    """save_quantized/load_quantized: a restart reconstructs the EXACT
+    quantization state (qparams arrays, activation scales, carrier) without
+    recalibrating; wrong-architecture state files fail loudly."""
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.weights import random_raw, write_weights
+
+    g, _, _ = setup
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=3))
+    rng = np.random.default_rng(1)
+    calib = rng.integers(0, 256, (4, 240, 320, 3), dtype=np.uint8)
+
+    src = Darknet(cfg_paths["yolov3-tiny"], precision=None)
+    src.load_weights(wpath)
+    with pytest.raises(RuntimeError, match="quantize_int8"):
+        src.save_quantized(tmp_path / "q.npz")
+    src.quantize_int8(calib, net_hw=(160, 160))
+    src.save_quantized(tmp_path / "q.npz")
+
+    dst = Darknet(cfg_paths["yolov3-tiny"], precision=None)
+    dst.load_weights(wpath)
+    dst.load_quantized(tmp_path / "q.npz")
+    assert dst.quantized and dst.qcarrier == src.qcarrier
+    assert dst.act_scales == src.act_scales
+    assert set(dst.qparams) == set(src.qparams)
+    for i, qp in src.qparams.items():
+        assert set(dst.qparams[i]) == set(qp)
+        for name, a in qp.items():
+            got = dst.qparams[i][name]
+            assert got.dtype == a.dtype
+            assert np.array_equal(np.asarray(got), np.asarray(a))
+
+    other = Darknet(cfg_paths["yolov3"], precision=None)
+    with pytest.raises(ValueError, match="saved for graph"):
+        other.load_quantized(tmp_path / "q.npz")
+
+    # bf16 nets (the serving default): unquantized-conv params are
+    # bfloat16, which npz stores as opaque void unless bit-tagged — the
+    # roundtrip must restore the exact dtype AND bits (caught live on the
+    # serve --quant-state restart path, 2026-08-21)
+    src16 = Darknet(cfg_paths["yolov3-tiny"], precision="bf16")
+    src16.load_weights(wpath)
+    src16.quantize_int8(calib, net_hw=(160, 160))
+    src16.save_quantized(tmp_path / "q16.npz")
+    dst16 = Darknet(cfg_paths["yolov3-tiny"], precision="bf16")
+    dst16.load_weights(wpath)
+    dst16.load_quantized(tmp_path / "q16.npz")
+    for i, qp in src16.qparams.items():
+        for name, a in qp.items():
+            got = dst16.qparams[i][name]
+            assert got.dtype == a.dtype
+            assert np.array_equal(np.asarray(got, np.float32),
+                                  np.asarray(a, np.float32))

@@ -122,3 +122,35 @@ def test_enable_compile_cache(tmp_path, monkeypatch):
         jax.config.update("jax_compilation_cache_dir", before_dir)
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", before_min)
+
+def test_to_coco_dicts_and_save(tmp_path):
+    """COCO-results export: tlbr → [x, y, w, h], contiguous category ids,
+    optional names, sorted by image id; save writes valid JSON."""
+    import json
+
+    import numpy as np
+
+    from yolov3_tpu.inference import Detection
+    from yolov3_tpu.utils.export import save_detections_json, to_coco_dicts
+
+    results = {
+        "b.jpg": Detection(
+            bbox_tlbr=np.array([[10.0, 20.0, 110.0, 70.0]], np.float32),
+            class_prob=np.array([0.875], np.float32),
+            class_idx=np.array([2], np.int32)),
+        "a.jpg": Detection(
+            bbox_tlbr=np.zeros((0, 4), np.float32),
+            class_prob=np.zeros((0,), np.float32),
+            class_idx=np.zeros((0,), np.int32)),
+    }
+    dicts = to_coco_dicts(results, class_names=["x", "y", "car"])
+    assert dicts == [{"image_id": "b.jpg", "category_id": 2,
+                      "bbox": [10.0, 20.0, 100.0, 50.0],
+                      "score": 0.875, "category_name": "car"}]
+    # no names → no category_name key
+    assert "category_name" not in to_coco_dicts(results)[0]
+
+    out = tmp_path / "dets.json"
+    n = save_detections_json(out, results, class_names=["x", "y", "car"])
+    assert n == 1
+    assert json.loads(out.read_text()) == dicts

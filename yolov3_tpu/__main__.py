@@ -98,6 +98,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "outliers for finer int8 resolution elsewhere)")
     p.add_argument("--calib-percentile", type=float, default=99.9,
                    help="percentile q for --calib-method percentile")
+    p.add_argument("--save-json", metavar="PATH", default=None,
+                   help="write detections as COCO-results JSON "
+                        "(--image / --image-dir sources; contiguous "
+                        "category ids + names — see utils/export.py)")
+    p.add_argument("--quant-state", metavar="PATH", default=None,
+                   help="int8 quantization-state cache (npz): load it if "
+                        "PATH exists (skips calibration entirely); "
+                        "otherwise calibrate via --quantize-int8 and save "
+                        "the result to PATH")
+    p.add_argument("--no-bias-correct", action="store_true",
+                   help="skip the DFQ-style bias correction applied after "
+                        "--quantize-int8 by default (folds the measured "
+                        "per-channel quantization shift into conv biases; "
+                        "zero runtime cost, measured positive for absmax — "
+                        "BASELINE.md round-5)")
     p.add_argument("--conv-impl", choices=("xla", "pallas"), default="xla",
                    help="conv backend for eligible 3x3 layers")
     p.add_argument("--nms-impl", choices=("xla", "pallas"), default="xla",
@@ -176,7 +191,14 @@ def main(argv=None) -> int:
               f"{len(net.graph.yolo_nodes)} heads")
     net.load_weights(args.weights, cache=args.cache_params)
 
-    if args.quantize_int8:
+    if args.quant_state and Path(args.quant_state).exists():
+        try:
+            net.load_quantized(args.quant_state)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        if args.verbose:
+            print(f"loaded int8 quantization state from {args.quant_state}")
+    elif args.quantize_int8:
         from .quant import load_calibration_dir
 
         calib = load_calibration_dir(args.quantize_int8)
@@ -184,9 +206,17 @@ def main(argv=None) -> int:
         # calibration must use the SAME preprocessing as serving
         net.quantize_int8(calib, net_hw=size, mode=args.resize_mode,
                           calib_method=args.calib_method,
-                          calib_percentile=args.calib_percentile)
+                          calib_percentile=args.calib_percentile,
+                          bias_correct=not args.no_bias_correct)
         if args.verbose:
             print(f"int8-quantized with {len(calib)} calibration images")
+        if args.quant_state:
+            net.save_quantized(args.quant_state)
+            if args.verbose:
+                print(f"saved int8 quantization state to {args.quant_state}")
+    elif args.quant_state:
+        raise SystemExit(f"--quant-state {args.quant_state}: file not found "
+                         "(pass --quantize-int8 CALIB_DIR to create it)")
 
     net_hw = (args.net_size, args.net_size) if args.net_size else None
     mesh, partition = None, "data"
@@ -222,6 +252,10 @@ def main(argv=None) -> int:
     # jax.profiler.trace works through the axon relay (host + device planes;
     # verified on-chip round 3) — one trace wraps the whole dispatch so
     # compile, H2D and steps all land in the same xprof session
+    if args.save_json and not (args.image or args.image_dir):
+        raise SystemExit("--save-json needs an --image or --image-dir "
+                         "source (video/cam streams have no image ids)")
+
     prof = (jax.profiler.trace(args.profile) if args.profile
             else contextlib.nullcontext())
     with prof:
@@ -237,6 +271,14 @@ def main(argv=None) -> int:
                         else str(int(cls)))
                 print(f"{name:20s} {prob:.3f}  tlbr=({box[0]:.0f},"
                       f"{box[1]:.0f},{box[2]:.0f},{box[3]:.0f})")
+            if args.save_json:
+                from .utils.export import save_detections_json
+
+                n = save_detections_json(
+                    args.save_json, {Path(args.image).name: result},
+                    class_names)
+                if args.verbose:
+                    print(f"wrote {n} detections to {args.save_json}")
         elif args.image_dir:
             if args.output:
                 Path(args.output).mkdir(parents=True, exist_ok=True)
@@ -246,6 +288,12 @@ def main(argv=None) -> int:
                                        output_dir=args.output, verbose=True)
             total = sum(len(r.bbox_tlbr) for r in results.values())
             print(f"{len(results)} images, {total} detections")
+            if args.save_json:
+                from .utils.export import save_detections_json
+
+                n = save_detections_json(args.save_json, results,
+                                         class_names)
+                print(f"wrote {n} detections to {args.save_json}")
         elif args.video:
             detect_in_video(detector, args.video, class_names=class_names,
                             output_path=args.output, show=not args.no_show,

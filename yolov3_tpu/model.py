@@ -377,7 +377,8 @@ class Darknet:
                       quantize_heads: bool = False,
                       quantize_stem: bool = False,
                       calib_method: str = "absmax",
-                      calib_percentile: float = 99.9) -> "Darknet":
+                      calib_percentile: float = 99.9,
+                      bias_correct: bool = True) -> "Darknet":
         """Post-training int8 quantization (see ``quant.py``).
 
         ``calibration_frames``: (N, H, W, 3) uint8 RGB frames (a few dozen
@@ -394,9 +395,20 @@ class Darknet:
         ``calib_method``: ``"absmax"`` (default) or ``"percentile"`` with
         ``calib_percentile`` (default 99.9) — the standard PTQ outlier
         guard; see ``quant._make_stat_fn`` for the exact semantics and the
-        saturation contract that makes it safe."""
+        saturation contract that makes it safe.
+
+        ``bias_correct`` (default True) applies DFQ-style bias correction
+        after weight quantization (``quant.bias_correct``): the expected
+        per-channel pre-activation shift introduced by weight/activation
+        rounding is measured on the SAME calibration batches (one extra
+        jitted pass) and folded into each quantized conv's bias — zero
+        runtime cost. Measured on the pinned synthetic eval (BASELINE.md
+        round-5): absmax mAP50_95 0.9032 → 0.9146; heavy percentile
+        clipping (q=99.0) +7 mAP50 points; q=99.9 slightly negative
+        (−0.018 mAP50) — pass ``bias_correct=False`` there."""
         from .ops.preprocess import preprocess
-        from .quant import calibrate, calibrate_tensors, quantize_weights
+        from .quant import (bias_correct as _bias_correct, calibrate,
+                            calibrate_tensors, quantize_weights)
 
         if self.params is None:
             raise RuntimeError("load_weights() before quantize_int8()")
@@ -441,6 +453,84 @@ class Darknet:
         self.qparams = quantize_weights(self.graph, self.params,
                                         include_heads=quantize_heads,
                                         include_stem=quantize_stem)
+        if bias_correct:
+            self.qparams = _bias_correct(
+                self.graph, self.params, self.qparams, self.act_scales,
+                batches, carrier=carrier,
+                precision=self.precision or "bf16")
+        return self
+
+    def save_quantized(self, path) -> "Darknet":
+        """Persist the int8 quantization state (qparams + activation scales
+        + carrier) as one npz so a serving restart skips calibration
+        entirely (``load_quantized``). The file is keyed to the
+        architecture (graph name + param count) — NOT to the weight file:
+        qparams fully determine the int8 forward, so the float weights only
+        matter for the fp32 fallback path."""
+        from pathlib import Path
+
+        from .weights import param_count
+
+        if not self.quantized:
+            raise RuntimeError("quantize_int8() before save_quantized()")
+        flat = {
+            "__meta__.graph": np.asarray(self.graph.name),
+            "__meta__.nparams": np.asarray(param_count(self.graph)),
+            "__meta__.carrier": np.asarray(self.qcarrier),
+            "__meta__.scale_idx": np.asarray(sorted(self.act_scales),
+                                             np.int64),
+            "__meta__.scale_val": np.asarray(
+                [self.act_scales[i] for i in sorted(self.act_scales)],
+                np.float64),
+        }
+        for i, qp in self.qparams.items():
+            for name, a in qp.items():
+                a = np.asarray(a)
+                if a.dtype == jnp.bfloat16.dtype:
+                    # np.savez stores bfloat16 as opaque void ("|V2") that
+                    # np.load can't hand back to JAX — persist the raw bits
+                    # with a dtype tag instead (exact roundtrip)
+                    flat[f"{i}.{name}:bf16"] = a.view(np.uint16)
+                else:
+                    flat[f"{i}.{name}"] = a
+        path = Path(path)
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        with open(tmp, "wb") as f:  # file handle: savez won't append .npz
+            np.savez(f, **flat)
+        tmp.replace(path)
+        return self
+
+    def load_quantized(self, path) -> "Darknet":
+        """Restore int8 quantization state saved by ``save_quantized``.
+        Validates the architecture key (graph name + param count) so a
+        state file from a different cfg fails loudly, not with garbage
+        detections."""
+        from .weights import param_count
+
+        with np.load(path) as z:
+            name = str(z["__meta__.graph"])
+            nparams = int(z["__meta__.nparams"])
+            if (name, nparams) != (self.graph.name,
+                                   param_count(self.graph)):
+                raise ValueError(
+                    f"quantized state {path} was saved for graph "
+                    f"{name!r} ({nparams} params); this net is "
+                    f"{self.graph.name!r} ({param_count(self.graph)})")
+            self.qcarrier = str(z["__meta__.carrier"])
+            idx = z["__meta__.scale_idx"]
+            val = z["__meta__.scale_val"]
+            self.act_scales = {int(i): float(s) for i, s in zip(idx, val)}
+            qparams: Dict[int, Dict[str, jax.Array]] = {}
+            for file in z.files:
+                if file.startswith("__meta__"):
+                    continue
+                i, field = file.split(".", 1)
+                a = z[file]
+                if field.endswith(":bf16"):
+                    field = field[:-len(":bf16")]
+                    a = a.view(jnp.bfloat16.dtype)
+                qparams.setdefault(int(i), {})[field] = jnp.asarray(a)
+            self.qparams = qparams
         return self
 
     @property

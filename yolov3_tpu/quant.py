@@ -670,6 +670,44 @@ def _make_stat_fn(method: str, percentile: float):
                      "(expected 'absmax' or 'percentile')")
 
 
+def _calibration_walk(graph: Graph, params, x: jax.Array,
+                      precision: Optional[str], visit) -> None:
+    """The ONE float reference walk behind every calibration-side pass
+    (scale calibration, per-tensor calibration, bias-correction statistics).
+
+    Runs the fp/bf16 graph on ``x`` and calls ``visit(node, inp, out)`` for
+    every node — ``inp`` is the node's primary input (the previous node's
+    output, which IS the conv input for conv nodes), ``out`` its own output.
+    Runs inside the caller's jit; ``visit`` accumulates into caller state.
+    """
+    prec = _PRECISIONS[precision]
+    needed = graph.needed_outputs
+    cache: Dict[int, jax.Array] = {}
+    prev = x.astype(jnp.bfloat16) if precision == "bf16" else x
+    for node in graph.nodes:
+        if node.kind == "convolutional":
+            qp = {"w": params[node.index]["w"],
+                  "b": params[node.index]["b"]}
+            out = _conv_bf16(prev, node, qp, prec)
+        elif node.kind == "maxpool":
+            out = _maxpool(prev, node)
+        elif node.kind == "upsample":
+            out = _upsample_nearest(prev, node.stride)
+        elif node.kind == "shortcut":
+            out = _activate(prev + cache[node.inputs[1]], node.activation)
+        elif node.kind == "route":
+            srcs = [prev if i == node.index - 1 else cache[i]
+                    for i in node.inputs]
+            out = (srcs[0] if len(srcs) == 1
+                   else jnp.concatenate(srcs, axis=-1))
+        else:
+            out = prev
+        visit(node, prev, out)
+        if node.index in needed:
+            cache[node.index] = out
+        prev = out
+
+
 def calibrate(graph: Graph, params, batches, precision: Optional[str] = "bf16",
               include_heads: bool = False, method: str = "absmax",
               percentile: float = 99.9) -> Dict[int, float]:
@@ -686,35 +724,13 @@ def calibrate(graph: Graph, params, batches, precision: Optional[str] = "bf16",
                if eligible(graph, n, include_heads)]
 
     def absmax_pass(params, x):
-        prec = _PRECISIONS[precision]
-        needed = graph.needed_outputs
-        cache: Dict[int, jax.Array] = {}
         maxima = {}
-        prev = x.astype(jnp.bfloat16) if precision == "bf16" else x
-        for node in graph.nodes:
-            if node.kind == "convolutional":
-                if node.index in indices:
-                    maxima[node.index] = stat(prev.astype(jnp.float32))
-                qp = {"w": params[node.index]["w"],
-                      "b": params[node.index]["b"]}
-                out = _conv_bf16(prev, node, qp, prec)
-            elif node.kind == "maxpool":
-                out = _maxpool(prev, node)
-            elif node.kind == "upsample":
-                out = _upsample_nearest(prev, node.stride)
-            elif node.kind == "shortcut":
-                out = _activate(prev + cache[node.inputs[1]],
-                                node.activation)
-            elif node.kind == "route":
-                srcs = [prev if i == node.index - 1 else cache[i]
-                        for i in node.inputs]
-                out = (srcs[0] if len(srcs) == 1
-                       else jnp.concatenate(srcs, axis=-1))
-            else:
-                out = prev
-            if node.index in needed:
-                cache[node.index] = out
-            prev = out
+
+        def visit(node, inp, out):
+            if node.kind == "convolutional" and node.index in indices:
+                maxima[node.index] = stat(inp.astype(jnp.float32))
+
+        _calibration_walk(graph, params, x, precision, visit)
         return maxima
 
     run = jax.jit(absmax_pass)
@@ -740,34 +756,12 @@ def calibrate_tensors(graph: Graph, params, batches,
     stat = _make_stat_fn(method, percentile)
 
     def absmax_pass(params, x):
-        prec = _PRECISIONS[precision]
-        needed = graph.needed_outputs
-        cache: Dict[int, jax.Array] = {}
         maxima = {}
-        prev = x.astype(jnp.bfloat16) if precision == "bf16" else x
-        for node in graph.nodes:
-            if node.kind == "convolutional":
-                qp = {"w": params[node.index]["w"],
-                      "b": params[node.index]["b"]}
-                out = _conv_bf16(prev, node, qp, prec)
-            elif node.kind == "maxpool":
-                out = _maxpool(prev, node)
-            elif node.kind == "upsample":
-                out = _upsample_nearest(prev, node.stride)
-            elif node.kind == "shortcut":
-                out = _activate(prev + cache[node.inputs[1]],
-                                node.activation)
-            elif node.kind == "route":
-                srcs = [prev if i == node.index - 1 else cache[i]
-                        for i in node.inputs]
-                out = (srcs[0] if len(srcs) == 1
-                       else jnp.concatenate(srcs, axis=-1))
-            else:
-                out = prev
+
+        def visit(node, inp, out):
             maxima[node.index] = stat(out.astype(jnp.float32))
-            if node.index in needed:
-                cache[node.index] = out
-            prev = out
+
+        _calibration_walk(graph, params, x, precision, visit)
         return maxima
 
     run = jax.jit(absmax_pass)
@@ -777,3 +771,110 @@ def calibrate_tensors(graph: Graph, params, batches,
         for i, m in maxima.items():
             agg[i] = max(agg.get(i, 0.0), float(m))
     return {i: max(m, 1e-6) / 127.0 for i, m in agg.items()}
+
+
+def _input_scale(graph: Graph, node: Node, scales: Dict[int, float],
+                 carrier: str) -> float:
+    """The activation scale a quantized conv's input is rounded with.
+
+    ``carrier="int8"``: inputs arrive already quantized in the PRODUCER
+    tensor's scale (``calibrate_tensors`` keys by node index);
+    ``carrier="bf16"``: each conv quantizes its own input with its per-conv
+    calibrated scale (``calibrate`` keys by conv index)."""
+    return (scales[node.inputs[0]] if carrier == "int8"
+            else scales[node.index])
+
+
+def collect_input_stats(graph: Graph, params, scales: Dict[int, float],
+                        conv_indices, batches, carrier: str = "int8",
+                        precision: Optional[str] = "bf16",
+                        ) -> Dict[int, tuple]:
+    """Per-channel input statistics for :func:`bias_correct`.
+
+    For each conv in ``conv_indices`` returns ``(mu, eps)`` — both (C_in,)
+    float64 — where ``mu`` is the mean of the conv's float input per channel
+    over the calibration set (batch × spatial), and ``eps`` the mean
+    quantization residual ``x − s·clip(round(x/s))`` under the scale the
+    int8 pipeline actually rounds that input with (:func:`_input_scale`).
+    The stem conv's exact-u8 representation has scale 1/255 and no clipping
+    (preprocessed pixels live in [0, 1]), so its residual is pure resize
+    rounding, ≤ 0.5/255.
+    """
+    wanted = frozenset(conv_indices)
+
+    def stats_pass(params, x):
+        acc = {}
+
+        def visit(node, inp, out):
+            if node.kind != "convolutional" or node.index not in wanted:
+                return
+            f = inp.astype(jnp.float32)
+            if node.inputs[0] < 0:  # stem: exact-u8 scheme
+                deq = jnp.round(f * 255.0) * (1.0 / 255.0)
+            else:
+                s = jnp.float32(_input_scale(graph, node, scales, carrier))
+                deq = jnp.clip(jnp.round(f / s), -127, 127) * s
+            acc[node.index] = (
+                jnp.sum(f, axis=(0, 1, 2)),
+                jnp.sum(f - deq, axis=(0, 1, 2)),
+                jnp.float32(f.shape[0] * f.shape[1] * f.shape[2]),
+            )
+
+        _calibration_walk(graph, params, x, precision, visit)
+        return acc
+
+    run = jax.jit(stats_pass)
+    sums: Dict[int, list] = {}
+    for x in batches:
+        acc = run(params, jnp.asarray(x))
+        for i, (s_in, s_res, n) in acc.items():
+            mu_s, eps_s, cnt = sums.get(i, (0.0, 0.0, 0.0))
+            sums[i] = [mu_s + np.asarray(s_in, np.float64),
+                       eps_s + np.asarray(s_res, np.float64),
+                       cnt + float(n)]
+    return {i: (mu_s / cnt, eps_s / cnt) for i, (mu_s, eps_s, cnt)
+            in sums.items()}
+
+
+def bias_correct(graph: Graph, params, qparams, scales: Dict[int, float],
+                 batches, carrier: str = "int8",
+                 precision: Optional[str] = "bf16"):
+    """DFQ-style post-training bias correction (Nagel et al., arXiv
+    1906.04721 §4 — standard PTQ; technique reference only, no reference-repo
+    counterpart: the torch baseline has no quantization at all).
+
+    Quantization shifts each conv's expected pre-activation: weight rounding
+    replaces ``W`` with ``W̃ = s_w·W_q``, and input rounding replaces ``x``
+    with ``x̃ = x − ε``. Per output channel (spatially-constant-mean
+    approximation, edge padding ignored — the standard DFQ simplification)::
+
+        E[Wx] − E[W̃x̃] ≈ Σ_taps (W − W̃)·μ  +  Σ_taps W̃·ε
+
+    with ``μ, ε`` measured on the calibration set (:func:`collect_input_stats`,
+    one extra jitted pass). Folding that difference into the conv bias makes
+    the int8 pre-activation mean match fp32's — a pure host-side qparams
+    rewrite: zero runtime cost, and exactly zero correction when the
+    quantization is exact. Returns a NEW qparams dict (input untouched);
+    only ``"b"`` entries of quantized convs change.
+
+    The one-shot form corrects each conv against the FLOAT walk's input
+    distribution (propagated upstream error is second-order); the stem's
+    +128 zero-point fold (:func:`quantize_weights`) is additive and commutes
+    with this correction.
+    """
+    idx = [n.index for n in graph.conv_nodes
+           if "wq" in qparams.get(n.index, {})]
+    stats = collect_input_stats(graph, params, scales, idx, batches,
+                                carrier=carrier, precision=precision)
+    out = dict(qparams)
+    for i in idx:
+        qp = qparams[i]
+        w = np.asarray(params[i]["w"], np.float64)           # HWIO
+        w_dq = (np.asarray(qp["wq"], np.float64)
+                * np.asarray(qp["sw"], np.float64))          # broadcast over O
+        mu, eps = stats[i]
+        delta = (np.einsum("hwic,i->c", w - w_dq, mu)
+                 + np.einsum("hwic,i->c", w_dq, eps))
+        b = np.asarray(qp["b"], np.float64) + delta
+        out[i] = {**qp, "b": jnp.asarray(b.astype(np.float32))}
+    return out

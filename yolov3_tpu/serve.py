@@ -500,6 +500,13 @@ def main(argv=None):
                          "(see the main CLI)")
     ap.add_argument("--calib-percentile", type=float, default=99.9,
                     help="percentile q for --calib-method percentile")
+    ap.add_argument("--no-bias-correct", action="store_true",
+                    help="skip the default DFQ-style bias correction after "
+                         "--quantize-int8 (see the main CLI)")
+    ap.add_argument("--quant-state", metavar="PATH", default=None,
+                    help="int8 quantization-state cache (npz): load if PATH "
+                         "exists — a serving restart then skips calibration "
+                         "— else calibrate via --quantize-int8 and save")
     ap.add_argument("--block-impl", choices=("xla", "pallas"),
                     default="xla",
                     help="residual-block backend on the int8 path (pallas = "
@@ -550,13 +557,24 @@ def main(argv=None):
     net = Darknet(args.config, precision=precision)
     net.load_weights(args.weights)
     net_hw = (args.net_size, args.net_size) if args.net_size else None
-    if args.quantize_int8:
+    if args.quant_state and Path(args.quant_state).exists():
+        try:
+            net.load_quantized(args.quant_state)
+        except ValueError as e:
+            raise SystemExit(str(e))
+    elif args.quantize_int8:
         from .quant import load_calibration_dir
 
         net.quantize_int8(load_calibration_dir(args.quantize_int8),
                           net_hw=net_hw,
                           calib_method=args.calib_method,
-                          calib_percentile=args.calib_percentile)
+                          calib_percentile=args.calib_percentile,
+                          bias_correct=not args.no_bias_correct)
+        if args.quant_state:
+            net.save_quantized(args.quant_state)
+    elif args.quant_state:
+        raise SystemExit(f"--quant-state {args.quant_state}: file not found "
+                         "(pass --quantize-int8 CALIB_DIR to create it)")
     mesh = None
     if args.devices > 1:
         from .parallel.sharding import make_mesh
