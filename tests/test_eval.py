@@ -211,3 +211,96 @@ def test_multi_class_macro_average():
                1: (np.array([[90, 90, 99, 99]], np.float32), np.array([0.9]))}}
     res = evaluate(det, gt)
     assert abs(res["mAP50"] - 0.5) < 1e-6  # class 0 AP=1, class 1 AP=0
+def test_score_detections_file_offline(tmp_path):
+    """Offline scoring (--detections): a --save-json-style results file
+    (file-name image ids, contiguous category ids, COCO xywh boxes) scores
+    against a COCO annotation file without running the model; perfect
+    detections → mAP 1.0; unknown image ids are counted, not dropped
+    silently; sparse COCO category ids work via category_ids="coco"."""
+    from tools.eval_coco import score_detections_file
+
+    ann = {
+        "categories": [{"id": 1}, {"id": 3}, {"id": 7}],  # sparse ids
+        "images": [{"id": 10, "file_name": "a.jpg"},
+                   {"id": 11, "file_name": "b.jpg"}],
+        "annotations": [
+            {"image_id": 10, "category_id": 3, "bbox": [5, 5, 20, 10]},
+            {"image_id": 11, "category_id": 7, "bbox": [0, 0, 8, 8]},
+            {"image_id": 11, "category_id": 7, "bbox": [40, 40, 6, 12],
+             "iscrowd": 1},  # crowd: excluded from GT
+        ],
+    }
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps(ann))
+
+    # contiguous ids (sorted sparse [1,3,7] → 0,1,2), file-name image ids
+    dets = [
+        {"image_id": "a.jpg", "category_id": 1, "bbox": [5, 5, 20, 10],
+         "score": 0.9},
+        {"image_id": "b.jpg", "category_id": 2, "bbox": [0, 0, 8, 8],
+         "score": 0.8},
+        {"image_id": "missing.jpg", "category_id": 0, "bbox": [0, 0, 1, 1],
+         "score": 0.5},
+    ]
+    det_path = tmp_path / "dets.json"
+    det_path.write_text(json.dumps(dets))
+    res = score_detections_file(det_path, ann_path)
+    assert res["mAP50"] == 1.0 and res["mAP50_95"] == 1.0
+    assert res["skipped_entries"] == 1
+
+    # official-results convention: numeric image ids + sparse category ids
+    dets_coco = [
+        {"image_id": 10, "category_id": 3, "bbox": [5, 5, 20, 10],
+         "score": 0.9},
+        {"image_id": 11, "category_id": 7, "bbox": [0, 0, 8, 8],
+         "score": 0.8},
+        {"image_id": 11, "category_id": 99, "bbox": [0, 0, 1, 1],
+         "score": 0.5},  # unknown sparse id
+    ]
+    det_path.write_text(json.dumps(dets_coco))
+    res = score_detections_file(det_path, ann_path, category_ids="coco")
+    assert res["mAP50"] == 1.0
+    assert res["skipped_entries"] == 1
+
+    # a false positive on an annotated image drags AP below 1
+    dets_fp = dets[:2] + [{"image_id": "a.jpg", "category_id": 1,
+                           "bbox": [100, 100, 5, 5], "score": 0.95}]
+    det_path.write_text(json.dumps(dets_fp))
+    res = score_detections_file(det_path, ann_path)
+    assert res["mAP50"] < 1.0
+
+
+def test_save_json_roundtrips_through_offline_scoring(tmp_path):
+    """The CLI's --save-json output scores 1.0 against GT synthesized from
+    the same detections — the exporter and the offline scorer agree on the
+    bbox convention (tlbr → xywh → tlbr)."""
+    from tools.eval_coco import score_detections_file
+    from yolov3_tpu.inference import Detection
+    from yolov3_tpu.utils.export import save_detections_json
+
+    rng = np.random.default_rng(0)
+    results, ann_images, ann_list = {}, [], []
+    for k in range(3):
+        tl = rng.uniform(0, 100, (4, 2))
+        wh = rng.uniform(5, 50, (4, 2))
+        boxes = np.concatenate([tl, tl + wh], axis=1).astype(np.float32)
+        cls = rng.integers(0, 5, 4)
+        results[f"img{k}.jpg"] = Detection(
+            bbox_tlbr=boxes,
+            class_prob=rng.uniform(0.3, 1.0, 4).astype(np.float32),
+            class_idx=cls.astype(np.int32))
+        ann_images.append({"id": k, "file_name": f"img{k}.jpg"})
+        for b, c in zip(boxes, cls):
+            ann_list.append({"image_id": k, "category_id": int(c) + 1,
+                             "bbox": [float(b[0]), float(b[1]),
+                                      float(b[2] - b[0]),
+                                      float(b[3] - b[1])]})
+    det_path = tmp_path / "dets.json"
+    save_detections_json(det_path, results)
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps({
+        "categories": [{"id": i + 1} for i in range(5)],
+        "images": ann_images, "annotations": ann_list}))
+    res = score_detections_file(det_path, ann_path)
+    assert res["skipped_entries"] == 0
+    assert res["mAP50"] == 1.0 and res["mAP50_95"] == 1.0

@@ -121,15 +121,13 @@ def evaluate(detections, ground_truth, iou_thresholds=None):
             "mAP50": map50, "mAP50_95": map5095}
 
 
-def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
-                      iou_thresh=0.45, batch_size=16, limit=None,
-                      precision=None, top_k=1024, audit="auto",
-                      audit_sample=32, quantize_int8=0):
-    import cv2
+def load_coco_gt(ann_path, limit=None):
+    """Parse a COCO annotation JSON → (gt, cat_to_idx, images).
 
-    from yolov3_tpu.inference import Detector
-    from yolov3_tpu.model import Darknet
-
+    gt: {image_id: {contiguous class idx: [tlbr, ...]}} (crowd boxes
+    dropped); cat_to_idx maps the sparse COCO category ids to contiguous
+    darknet class indices; images is the (optionally limited) images list.
+    """
     coco = json.loads(Path(ann_path).read_text())
     # COCO category ids are sparse; map to contiguous darknet class indices
     cat_ids = sorted({c["id"] for c in coco["categories"]})
@@ -143,6 +141,66 @@ def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
         gt[ann["image_id"]][cat_to_idx[ann["category_id"]]].append(
             [x, y, x + w, y + h])
     images = coco["images"][:limit] if limit else coco["images"]
+    return gt, cat_to_idx, images
+
+
+def score_detections_file(det_path, ann_path, category_ids="contiguous",
+                          limit=None):
+    """Offline scoring: a COCO-results detections JSON vs a COCO annotation
+    file — the standard decoupled inference→eval workflow (run the CLI with
+    ``--save-json dets.json`` on the val images, then score here without
+    re-running the model).
+
+    ``image_id`` entries may be numeric COCO ids or file names (mapped via
+    the annotation's ``images[]`` list — the ``--save-json`` convention).
+    ``category_ids="contiguous"`` (default) reads the model's contiguous
+    class indices (``--save-json``); ``"coco"`` reads sparse COCO category
+    ids (official results files). Entries whose image or category can't be
+    resolved are counted in ``skipped_entries``, not silently dropped.
+    """
+    gt, cat_to_idx, images = load_coco_gt(ann_path, limit)
+    name_to_id = {i["file_name"]: i["id"] for i in images}
+    keep = {i["id"] for i in images}
+    raw = json.loads(Path(det_path).read_text())
+    by_img = defaultdict(lambda: defaultdict(lambda: ([], [])))
+    skipped = 0
+    for d in raw:
+        img = d["image_id"]
+        if isinstance(img, str):
+            if img not in name_to_id:
+                skipped += 1
+                continue
+            img = name_to_id[img]
+        elif img not in keep:
+            skipped += 1
+            continue
+        cls = d["category_id"]
+        if category_ids == "coco":
+            if cls not in cat_to_idx:
+                skipped += 1
+                continue
+            cls = cat_to_idx[cls]
+        x, y, w, h = d["bbox"]
+        by_img[img][cls][0].append([x, y, x + w, y + h])
+        by_img[img][cls][1].append(float(d["score"]))
+    detections = {img: {c: (np.asarray(b, np.float64), np.asarray(s))
+                        for c, (b, s) in per.items()}
+                  for img, per in by_img.items()}
+    out = evaluate(detections, {i: g for i, g in gt.items() if i in keep})
+    out["skipped_entries"] = skipped
+    return out
+
+
+def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
+                      iou_thresh=0.45, batch_size=16, limit=None,
+                      precision=None, top_k=1024, audit="auto",
+                      audit_sample=32, quantize_int8=0):
+    import cv2
+
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+
+    gt, cat_to_idx, images = load_coco_gt(ann_path, limit)
 
     net = Darknet(cfg, precision=precision).load_weights(weights)
     if quantize_int8:
@@ -270,10 +328,20 @@ def run_model_on_coco(images_dir, ann_path, cfg, weights, prob_thresh=0.005,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--images", required=True)
+    ap.add_argument("--images")
     ap.add_argument("--annotations", required=True)
     ap.add_argument("--config", default="models/yolov3.cfg")
-    ap.add_argument("--weights", required=True)
+    ap.add_argument("--weights")
+    ap.add_argument("--detections", metavar="JSON", default=None,
+                    help="offline mode: score this COCO-results detections "
+                         "file (e.g. the CLI's --save-json output) against "
+                         "--annotations without running the model "
+                         "(--images/--weights not needed)")
+    ap.add_argument("--category-ids", choices=("contiguous", "coco"),
+                    default="contiguous",
+                    help="category-id convention of --detections: "
+                         "contiguous model indices (--save-json, default) "
+                         "or sparse COCO ids (official results files)")
     ap.add_argument("--prob-thresh", type=float, default=0.005)
     ap.add_argument("--iou-thresh", type=float, default=0.45)
     ap.add_argument("--batch-size", type=int, default=16)
@@ -298,13 +366,25 @@ def main():
                          "the int8 speed numbers in BASELINE.md")
     args = ap.parse_args()
 
-    res = run_model_on_coco(args.images, args.annotations, args.config,
-                            args.weights, args.prob_thresh, args.iou_thresh,
-                            args.batch_size, args.limit, args.precision,
-                            args.top_k, audit=args.audit,
-                            quantize_int8=args.quantize_int8)
+    if args.detections:
+        res = score_detections_file(args.detections, args.annotations,
+                                    category_ids=args.category_ids,
+                                    limit=args.limit)
+    else:
+        if not args.images or not args.weights:
+            ap.error("--images and --weights are required unless "
+                     "--detections is given")
+        res = run_model_on_coco(args.images, args.annotations, args.config,
+                                args.weights, args.prob_thresh,
+                                args.iou_thresh, args.batch_size, args.limit,
+                                args.precision, args.top_k, audit=args.audit,
+                                quantize_int8=args.quantize_int8)
     line = {"mAP50": round(res["mAP50"], 4),
             "mAP50_95": round(res["mAP50_95"], 4)}
+    if args.detections:
+        line["mode"] = "offline"
+        if res.get("skipped_entries"):
+            line["skipped_entries"] = res["skipped_entries"]
     if args.quantize_int8:
         line["precision"] = "int8"
     if "audit" in res:
