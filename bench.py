@@ -195,7 +195,7 @@ def measure_tpu(graph, params, frames, iters, prob_thresh=0.05,
 def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
                      quantize_heads=False, quantize_stem=False, scan=1,
                      fused_heads=False, select_group=2, block_impl="xla",
-                     top_k=None):
+                     top_k=None, act_scheme="symmetric"):
     """int8 PTQ path (calibrated on random frames — throughput-only here;
     accuracy calibration uses real images via Darknet.quantize_int8).
     ``quantize_heads`` also int8s the no-BN head projections (round 3;
@@ -203,7 +203,9 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
     ``quantize_stem`` int8s the Cin=3 stem via the exact-u8 input scheme
     (tests/test_quant.py::test_stem_*); ``block_impl="pallas"`` runs the
     residual blocks through the fused VMEM-resident kernel (round 4,
-    ops/pallas_block.py)."""
+    ops/pallas_block.py); ``act_scheme="asymmetric"`` prices the round-5
+    zero-point activation scheme (explicit conv pads + quantize-site adds
+    are its only runtime deltas)."""
     import jax
     import jax.numpy as jnp
 
@@ -211,6 +213,7 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
     from yolov3_tpu.ops.nms import batched_nms_packed
     from yolov3_tpu.ops.preprocess import preprocess
     from yolov3_tpu.quant import (calibrate_tensors,
+                                  calibrate_tensors_affine,
                                   forward_packed_fused_int8,
                                   forward_packed_int8, quantize_weights)
 
@@ -223,7 +226,13 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
     rng = np.random.default_rng(3)
     calib = [preprocess(jnp.asarray(
         rng.integers(0, 256, (8, *net_hw, 3), dtype=np.uint8)), net_hw)]
-    scales = calibrate_tensors(graph, dev_params, calib, precision="bf16")
+    zeros = None
+    if act_scheme == "asymmetric":
+        scales, zeros = calibrate_tensors_affine(graph, dev_params, calib,
+                                                 precision="bf16")
+    else:
+        scales = calibrate_tensors(graph, dev_params, calib,
+                                   precision="bf16")
     qparams = jax.device_put(quantize_weights(graph, dev_params,
                                               include_heads=quantize_heads,
                                               include_stem=quantize_stem))
@@ -233,7 +242,8 @@ def measure_tpu_int8(graph, params, frames, iters, prob_thresh=0.05,
         x = preprocess(frames_u8[..., ::-1], net_hw)
         payload, scores = fwd_q(
             graph, qparams, scales, x, prob_thresh=prob_thresh,
-            precision="bf16", carrier="int8", block_impl=block_impl)
+            precision="bf16", carrier="int8", block_impl=block_impl,
+            zeros=zeros)
         res = batched_nms_packed(payload, scores, select_group=select_group,
                                  top_k=top_k)
         return jnp.sum(res.scores), jnp.sum(res.valid)
@@ -424,6 +434,11 @@ def main():
                     help="quantize the Cin=3 stem conv too on the int8 rows "
                          "(exact-u8 input scheme, quant.eligible "
                          "include_stem)")
+    ap.add_argument("--act-scheme", choices=("symmetric", "asymmetric"),
+                    default="symmetric",
+                    help="activation quantization scheme for the int8 rows "
+                         "(asymmetric = round-5 zero-point scheme; prices "
+                         "its explicit conv pads + quantize-site adds)")
     ap.add_argument("--fuse-blocks", action="store_true",
                     help="run the darknet53 residual blocks through the "
                          "fused VMEM-resident int8 kernel on the int8 rows "
@@ -634,7 +649,8 @@ def _run(args):
                                     quantize_stem=args.int8_stem,
                                     scan=scan, fused_heads=fused,
                                     select_group=args.select_group,
-                                    block_impl=blocks_impl)
+                                    block_impl=blocks_impl,
+                                    act_scheme=args.act_scheme)
         return measure_tpu(graph, prms, frames, iters, precision=prec,
                            scan=scan, fused_heads=fused,
                            select_group=args.select_group)
@@ -667,6 +683,8 @@ def _run(args):
             # bf16 row stamped fuse_blocks would claim a knob that never
             # shaped it (provenance rule above)
             row["fuse_blocks"] = True
+        if args.act_scheme != "symmetric" and prec == "int8":
+            row["act_scheme"] = args.act_scheme
         if args.select_group != 2:
             row["select_group"] = args.select_group
         return row

@@ -786,3 +786,167 @@ def test_quant_state_save_load_roundtrip(setup, cfg_paths, tmp_path):
             assert got.dtype == a.dtype
             assert np.array_equal(np.asarray(got, np.float32),
                                   np.asarray(a, np.float32))
+
+def test_affine_calibration_properties(setup):
+    """calibrate_tensors_affine: ranges cover every node, zero is exactly
+    representable (q = z dequantizes to exactly 0.0), and one-sided leaky
+    outputs get strongly negative zero-points (the scheme's whole point)."""
+    from yolov3_tpu.quant import (_dequantize_affine, calibrate_tensors,
+                                  calibrate_tensors_affine)
+
+    g, params, x = setup
+    scales, zeros = calibrate_tensors_affine(g, params, [x], precision=None)
+    ssym = calibrate_tensors(g, params, [x], precision=None)
+    assert set(scales) == set(zeros) == set(ssym)
+    for i in scales:
+        assert scales[i] > 0 and -127 <= zeros[i] <= 127
+        z = jnp.asarray(zeros[i], jnp.int8)
+        assert float(_dequantize_affine(z, scales[i], zeros[i])) == 0.0
+        # affine range never needs a coarser step than symmetric's 2·max/254
+        assert scales[i] <= ssym[i] * (254.0 / 254.0) + 1e-12
+    # leaky outputs are one-sided → most zero-points are far from 0
+    assert sum(1 for z in zeros.values() if z < -64) > len(zeros) // 2
+
+
+def test_asymmetric_conv_core_algebra(setup):
+    """_conv_int8_core's zero-point fold: conv on the affine carrier must
+    equal the real-arithmetic conv of the DEQUANTIZED input with the
+    dequantized weights — the z·Σwq epilogue constant and the explicit
+    q = z padding are an identity, not an approximation."""
+    from jax import lax
+
+    from yolov3_tpu.quant import (_conv_int8_core, _dequantize_affine,
+                                  _quantize_affine)
+
+    g, params, _ = setup
+    node = [n for n in g.conv_nodes if eligible(g, n)][0]
+    q = quantize_weights(g, params)
+    qp = q[node.index]
+    rng = np.random.default_rng(5)
+    c_in = g.nodes[node.inputs[0]].out_channels
+    xf = jnp.asarray(rng.uniform(-0.2, 2.0, (2, 16, 16, c_in))
+                     .astype(np.float32))
+    s, z = 2.2 / 254.0, -104
+    xq = _quantize_affine(xf, s, z)
+
+    got = _conv_int8_core(xq, node, qp, s, prequantized=True, zx=z)
+    w_dq = qp["wq"].astype(jnp.float32) * qp["sw"]
+    pad = node.size // 2
+    want = lax.conv_general_dilated(
+        _dequantize_affine(xq, s, z), w_dq, (node.stride, node.stride),
+        [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST) + qp["b"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_asymmetric_carrier_prenms_parity(setup):
+    """act_scheme='asymmetric': same pre-NMS gates as the symmetric
+    carrier, and the mean top-200 score error must not exceed the
+    symmetric scheme's (the measured gain is ~25-30% — BASELINE.md
+    round-5)."""
+    from yolov3_tpu.quant import (calibrate_tensors,
+                                  calibrate_tensors_affine)
+
+    g, params, x = setup
+    q = quantize_weights(g, params)
+    b32, s32, c32 = forward_compact(g, params, x)
+    s32n = np.asarray(s32)
+
+    ssym = calibrate_tensors(g, params, [x], precision=None)
+    saff, zaff = calibrate_tensors_affine(g, params, [x], precision=None)
+    _, s_sym, _ = forward_compact_int8(g, q, ssym, x, precision=None,
+                                       carrier="int8")
+    ba, s_asym, ca = forward_compact_int8(g, q, saff, x, precision=None,
+                                          carrier="int8", zeros=zaff)
+    b32n, ban = np.asarray(b32), np.asarray(ba)
+    c32n, can = np.asarray(c32), np.asarray(ca)
+    err_sym, err_asym = [], []
+    for i in range(x.shape[0]):
+        top = np.argsort(s32n[i])[::-1][:200]
+        assert np.abs(s32n[i][top] - np.asarray(s_asym)[i][top]).max() <= 0.01
+        assert np.abs(b32n[i][top] - ban[i][top]).max() <= 0.5
+        assert (c32n[i][top] == can[i][top]).all()
+        err_sym.append(np.abs(s32n[i][top]
+                              - np.asarray(s_sym)[i][top]).mean())
+        err_asym.append(np.abs(s32n[i][top]
+                               - np.asarray(s_asym)[i][top]).mean())
+    assert np.mean(err_asym) <= np.mean(err_sym)
+
+
+def test_quantize_int8_act_scheme_plumbing(setup, cfg_paths, tmp_path):
+    """Darknet.quantize_int8(act_scheme=...): asymmetric populates
+    act_zeros and roundtrips through the quant-state cache; invalid
+    scheme and bf16-carrier combinations fail loudly."""
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.weights import random_raw, write_weights
+
+    g, _, _ = setup
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=3))
+    rng = np.random.default_rng(1)
+    calib = rng.integers(0, 256, (4, 240, 320, 3), dtype=np.uint8)
+
+    net = Darknet(cfg_paths["yolov3-tiny"], precision=None)
+    net.load_weights(wpath)
+    with pytest.raises(ValueError, match="act_scheme"):
+        net.quantize_int8(calib, net_hw=(160, 160), act_scheme="bogus")
+    with pytest.raises(ValueError, match="int8 .*carrier|carrier"):
+        net.quantize_int8(calib, net_hw=(160, 160), carrier="bf16",
+                          act_scheme="asymmetric")
+    net.quantize_int8(calib, net_hw=(160, 160), act_scheme="asymmetric")
+    assert net.act_zeros and any(z != 0 for z in net.act_zeros.values())
+
+    net.save_quantized(tmp_path / "q.npz")
+    dst = Darknet(cfg_paths["yolov3-tiny"], precision=None)
+    dst.load_weights(wpath)
+    dst.load_quantized(tmp_path / "q.npz")
+    assert dst.act_zeros == net.act_zeros
+    assert dst.act_scales == net.act_scales
+
+    # symmetric state files load with act_zeros = None
+    net.quantize_int8(calib, net_hw=(160, 160))
+    assert net.act_zeros is None
+    net.save_quantized(tmp_path / "q2.npz")
+    dst.load_quantized(tmp_path / "q2.npz")
+    assert dst.act_zeros is None
+
+
+def test_detector_asymmetric_integration(setup, cfg_paths, tmp_path):
+    """End-to-end Detector over an asymmetric-quantized net: the pipeline
+    closes over act_zeros (inference.py plumbing) and produces detections
+    matching the direct forward's survivor set."""
+    from yolov3_tpu.inference import Detector
+    from yolov3_tpu.model import Darknet
+    from yolov3_tpu.weights import random_raw, write_weights
+
+    g, _, _ = setup
+    wpath = tmp_path / "t.weights"
+    write_weights(wpath, g, random_raw(g, seed=3))
+    rng = np.random.default_rng(2)
+    calib = rng.integers(0, 256, (4, 160, 160, 3), dtype=np.uint8)
+
+    nets = {}
+    for scheme in ("symmetric", "asymmetric"):
+        net = Darknet(cfg_paths["yolov3-tiny"], precision=None)
+        net.load_weights(wpath)
+        net.quantize_int8(calib, net_hw=(160, 160), act_scheme=scheme,
+                          bias_correct=False)
+        nets[scheme] = net
+    frames = rng.integers(0, 256, (2, 160, 160, 3), dtype=np.uint8)
+    det_a = Detector(nets["asymmetric"], prob_thresh=0.3, net_hw=(160, 160))
+    det_s = Detector(nets["symmetric"], prob_thresh=0.3, net_hw=(160, 160))
+    res_a = det_a.detect_batch(frames)
+    res_s = det_s.detect_batch(frames)
+    assert len(res_a) == 2
+    # the schemes must actually differ (zeros reached the pipeline) while
+    # agreeing on the rough survivor count on identical inputs
+    total_a = sum(len(r.bbox_tlbr) for r in res_a)
+    total_s = sum(len(r.bbox_tlbr) for r in res_s)
+    assert total_a > 0
+    scores_a = np.concatenate([r.class_prob for r in res_a])
+    scores_s = np.concatenate([r.class_prob for r in res_s])
+    assert (scores_a.shape != scores_s.shape
+            or not np.allclose(scores_a, scores_s))
+    assert 0.5 <= (total_a + 1) / (total_s + 1) <= 2.0

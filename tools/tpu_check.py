@@ -401,6 +401,55 @@ def check_conv():
         assert rel < 2e-2, f"pallas conv {name} diverges on TPU"
 
 
+def check_asymmetric_int8():
+    """Asymmetric (zero-point) activation scheme compiled on chip: the
+    affine carrier must hold the SAME candidate-level bars vs the fp32
+    `highest` packed path as the symmetric scheme does in the CPU gates
+    (tests/test_quant.py::test_asymmetric_carrier_prenms_parity) — its
+    only new on-chip ops are explicit q = z conv pads, the quantize-site
+    adds, and the constant-folded z·Σwq epilogue terms
+    (quant._conv_int8_core)."""
+    from yolov3_tpu.graph import load_graph
+    from yolov3_tpu.model import forward_packed
+    from yolov3_tpu.quant import (calibrate_tensors,
+                                  calibrate_tensors_affine,
+                                  forward_packed_int8, quantize_weights)
+    from yolov3_tpu.weights import fold_raw, random_raw
+
+    repo = Path(__file__).parent.parent
+    g = load_graph(repo / "models" / "yolov3-tiny.cfg")
+    params = {k: {n: jnp.asarray(v) for n, v in p.items()}
+              for k, p in fold_raw(random_raw(g, seed=3)).items()}
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 416, 416, 3)).astype(np.float32))
+    qparams = quantize_weights(g, params)
+    p32, s32 = jax.jit(lambda p, x: forward_packed(
+        g, p, x, prob_thresh=0.3, precision="highest"))(params, x)
+
+    counts = {}
+    for scheme in ("symmetric", "asymmetric"):
+        if scheme == "asymmetric":
+            scales, zeros = calibrate_tensors_affine(g, params, [x],
+                                                     precision="bf16")
+        else:
+            scales = calibrate_tensors(g, params, [x], precision="bf16")
+            zeros = None
+        pq, sq = jax.jit(lambda q, x, s=scales, z=zeros: forward_packed_int8(
+            g, q, s, x, prob_thresh=0.3, precision="bf16",
+            carrier="int8", zeros=z))(qparams, x)
+        # quantization bars, not bit-equality: the CPU parity gates bound
+        # the top-200 score delta at 0.01 and boxes at 0.5 px; the packed
+        # comparison is candidate-level with threshold-straddler handling
+        ok, st = _packed_paths_close(p32, s32, pq, sq, prob_thresh=0.3,
+                                     score_atol=0.02, box_atol=1.0)
+        counts[scheme] = int((np.asarray(sq) > 0).sum())
+        print(f"int8 {scheme} carrier compiled: {counts[scheme]} "
+              f"candidates, fp32 bars: {ok} {st}")
+        assert ok, f"int8 {scheme} carrier diverges on TPU: {st}"
+    # both schemes see the same scene: candidate counts in the same regime
+    assert 0.5 <= (counts["asymmetric"] + 1) / (counts["symmetric"] + 1) <= 2.0
+
+
 def check_e2e_pipeline():
     """Tiny end-to-end smoke on the chip: uint8 frames → detections."""
     from yolov3_tpu.inference import Detector
@@ -437,6 +486,7 @@ def main():
     check_fused_head_decode()
     check_fused_block()
     check_conv()
+    check_asymmetric_int8()
     check_e2e_pipeline()
     print("OK")
 

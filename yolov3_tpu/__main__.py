@@ -113,6 +113,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-channel quantization shift into conv biases; "
                         "zero runtime cost, measured positive for absmax — "
                         "BASELINE.md round-5)")
+    p.add_argument("--act-scheme", choices=("symmetric", "asymmetric"),
+                   default="symmetric",
+                   help="activation quantization scheme for --quantize-int8: "
+                        "asymmetric adds per-tensor zero-points (one-sided "
+                        "LeakyReLU activations nearly double their int8 "
+                        "resolution; zero-point terms fold into conv "
+                        "epilogues — BASELINE.md round-5 error budget)")
     p.add_argument("--conv-impl", choices=("xla", "pallas"), default="xla",
                    help="conv backend for eligible 3x3 layers")
     p.add_argument("--nms-impl", choices=("xla", "pallas"), default="xla",
@@ -207,7 +214,8 @@ def main(argv=None) -> int:
         net.quantize_int8(calib, net_hw=size, mode=args.resize_mode,
                           calib_method=args.calib_method,
                           calib_percentile=args.calib_percentile,
-                          bias_correct=not args.no_bias_correct)
+                          bias_correct=not args.no_bias_correct,
+                          act_scheme=args.act_scheme)
         if args.verbose:
             print(f"int8-quantized with {len(calib)} calibration images")
         if args.quant_state:

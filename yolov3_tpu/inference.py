@@ -284,6 +284,9 @@ class Detector:
                                          top_k=top_k, mode=mode,
                                          precision=precision, bgr=bgr,
                                          act_scales=self.net.act_scales,
+                                         act_zeros=getattr(self.net,
+                                                           "act_zeros",
+                                                           None),
                                          carrier=getattr(self.net, "qcarrier",
                                                          "bf16"),
                                          nms_impl=nms_impl,
@@ -314,6 +317,11 @@ class Detector:
 
             qparams, act_scales = self.net.qparams, self.net.act_scales
             carrier = getattr(self.net, "qcarrier", "bf16")
+            act_zeros = getattr(self.net, "act_zeros", None)
+            if block_impl == "pallas" and act_zeros:
+                log.warning("fused residual blocks implement the symmetric "
+                            "quantization contract only; asymmetric "
+                            "activations fall back to block_impl='xla'")
 
             @jax.jit
             def run_q(qparams, frames_u8):
@@ -334,7 +342,7 @@ class Detector:
                     payload, scores = fwd(
                         graph, qparams, act_scales, x, prob_thresh=prob,
                         precision=precision or "bf16", carrier=carrier,
-                        block_impl=block_impl)
+                        block_impl=block_impl, zeros=act_zeros)
                     return batched_nms_packed(payload, scores,
                                               iou_thresh=iou, top_k=top_k,
                                               impl=nms_impl,
@@ -343,7 +351,8 @@ class Detector:
                 boxes, scores, classes = forward_compact_int8(
                     graph, qparams, act_scales, x,
                     precision=precision or "bf16", decode_impl=decode_impl,
-                    carrier=carrier, block_impl=block_impl)
+                    carrier=carrier, block_impl=block_impl,
+                    zeros=act_zeros)
                 return batched_nms_compact(boxes, scores, classes,
                                            prob_thresh=prob, iou_thresh=iou,
                                            top_k=top_k, impl=nms_impl,

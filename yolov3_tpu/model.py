@@ -365,6 +365,7 @@ class Darknet:
         self.params: Optional[Dict[int, Dict[str, jax.Array]]] = None
         self.qparams = None  # int8 path (quantize_int8)
         self.act_scales = None
+        self.act_zeros = None  # asymmetric scheme only (act_scheme)
         self.qcarrier = "int8"  # activation carrier of the int8 path
         self._jitted = {}
 
@@ -378,7 +379,8 @@ class Darknet:
                       quantize_stem: bool = False,
                       calib_method: str = "absmax",
                       calib_percentile: float = 99.9,
-                      bias_correct: bool = True) -> "Darknet":
+                      bias_correct: bool = True,
+                      act_scheme: str = "symmetric") -> "Darknet":
         """Post-training int8 quantization (see ``quant.py``).
 
         ``calibration_frames``: (N, H, W, 3) uint8 RGB frames (a few dozen
@@ -405,10 +407,21 @@ class Darknet:
         runtime cost. Measured on the pinned synthetic eval (BASELINE.md
         round-5): absmax mAP50_95 0.9032 → 0.9146; heavy percentile
         clipping (q=99.0) +7 mAP50 points; q=99.9 slightly negative
-        (−0.018 mAP50) — pass ``bias_correct=False`` there."""
+        (−0.018 mAP50) — pass ``bias_correct=False`` there.
+
+        ``act_scheme="asymmetric"`` (int8 carrier only) quantizes
+        activations with per-tensor zero-points (``x = s·(q − z)``,
+        ``quant.calibrate_tensors_affine``): one-sided LeakyReLU
+        activations nearly double their int8 resolution, and the
+        zero-point terms fold into conv epilogues as per-channel constants
+        (``quant._conv_int8_core``) — the round-5 error budget measured
+        activation rounding as the dominant int8 error source
+        (BASELINE.md). ``calib_method`` maps to the affine calibrator:
+        absmax → exact minmax range, percentile → two-sided (100−q, q)."""
         from .ops.preprocess import preprocess
         from .quant import (bias_correct as _bias_correct, calibrate,
-                            calibrate_tensors, quantize_weights)
+                            calibrate_tensors, calibrate_tensors_affine,
+                            quantize_weights)
 
         if self.params is None:
             raise RuntimeError("load_weights() before quantize_int8()")
@@ -438,7 +451,20 @@ class Darknet:
             frames = jnp.asarray(_u8(calibration_frames))
             batches = [preprocess(frames[i:i + 8], net_hw, mode=mode)
                        for i in range(0, frames.shape[0], 8)]
-        if carrier == "int8":
+        if act_scheme not in ("symmetric", "asymmetric"):
+            raise ValueError(f"unknown act_scheme {act_scheme!r} "
+                             "(expected 'symmetric' or 'asymmetric')")
+        if act_scheme == "asymmetric" and carrier != "int8":
+            raise ValueError("act_scheme='asymmetric' needs the int8 "
+                             "activation carrier (carrier='int8')")
+        self.act_zeros = None
+        if act_scheme == "asymmetric":
+            self.act_scales, self.act_zeros = calibrate_tensors_affine(
+                self.graph, self.params, batches,
+                precision=self.precision or "bf16",
+                method={"absmax": "minmax"}.get(calib_method, calib_method),
+                percentile=calib_percentile)
+        elif carrier == "int8":
             self.act_scales = calibrate_tensors(
                 self.graph, self.params, batches,
                 precision=self.precision or "bf16",
@@ -457,7 +483,8 @@ class Darknet:
             self.qparams = _bias_correct(
                 self.graph, self.params, self.qparams, self.act_scales,
                 batches, carrier=carrier,
-                precision=self.precision or "bf16")
+                precision=self.precision or "bf16",
+                zeros=self.act_zeros)
         return self
 
     def save_quantized(self, path) -> "Darknet":
@@ -483,6 +510,12 @@ class Darknet:
                 [self.act_scales[i] for i in sorted(self.act_scales)],
                 np.float64),
         }
+        if self.act_zeros is not None:  # asymmetric activation scheme
+            flat["__meta__.zero_idx"] = np.asarray(sorted(self.act_zeros),
+                                                   np.int64)
+            flat["__meta__.zero_val"] = np.asarray(
+                [self.act_zeros[i] for i in sorted(self.act_zeros)],
+                np.int64)
         for i, qp in self.qparams.items():
             for name, a in qp.items():
                 a = np.asarray(a)
@@ -520,6 +553,11 @@ class Darknet:
             idx = z["__meta__.scale_idx"]
             val = z["__meta__.scale_val"]
             self.act_scales = {int(i): float(s) for i, s in zip(idx, val)}
+            self.act_zeros = None
+            if "__meta__.zero_idx" in z.files:
+                self.act_zeros = {int(i): int(v) for i, v in
+                                  zip(z["__meta__.zero_idx"],
+                                      z["__meta__.zero_val"])}
             qparams: Dict[int, Dict[str, jax.Array]] = {}
             for file in z.files:
                 if file.startswith("__meta__"):

@@ -71,7 +71,8 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
                      prob_thresh: float = 0.05, iou_thresh: float = 0.3,
                      top_k: int = 512, mode: str = "letterbox",
                      precision: Optional[str] = None, bgr: bool = True,
-                     act_scales=None, carrier: str = "bf16",
+                     act_scales=None, act_zeros=None,
+                     carrier: str = "bf16",
                      conv_impl: str = "xla",
                      nms_impl: str = "xla", decode_impl: str = "pallas",
                      max_results: int = 0, scan: int = 1,
@@ -131,7 +132,7 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
                 payload, scores = fwd_q(
                     graph, params, act_scales, x, prob_thresh=prob_thresh,
                     precision=precision or "bf16", carrier=carrier,
-                    block_impl=block_impl)
+                    block_impl=block_impl, zeros=act_zeros)
             else:
                 from ..model import forward_packed, forward_packed_fused
 
@@ -151,7 +152,7 @@ def sharded_pipeline(graph, mesh: Mesh, net_hw: Tuple[int, int],
             boxes, scores, classes = forward_compact_int8(
                 graph, params, act_scales, x, precision=precision or "bf16",
                 decode_impl=decode_impl, carrier=carrier,
-                block_impl=block_impl)
+                block_impl=block_impl, zeros=act_zeros)
         else:
             boxes, scores, classes = forward_compact(graph, params, x,
                                                      precision=precision,

@@ -174,19 +174,35 @@ def chain_targets(graph: Graph, qparams) -> Dict[int, int]:
 
 
 def _conv_int8_core(x_or_q, node: Node, qp, sx: float,
-                    prequantized: bool) -> jax.Array:
-    """int8 conv returning the fp32 pre-activation epilogue input."""
+                    prequantized: bool, zx: int = 0) -> jax.Array:
+    """int8 conv returning the fp32 pre-activation epilogue input.
+
+    ``zx`` is the input tensor's zero-point (asymmetric activation scheme,
+    ``act_scheme="asymmetric"``): the input represents ``x = sx·(q − zx)``,
+    so ``conv(x) = sx·(conv(q) − zx·Σ_taps wq)`` — the Σ term is a
+    per-output-channel CONSTANT folded in the epilogue (XLA constant-folds
+    ``wsum``), exactly the stem's zero-point algebra generalized to a
+    calibrated zx. Padding must then carry ``q = zx`` (≡ x = 0), so the
+    pad happens explicitly in the quantized domain. ``zx = 0`` is the
+    symmetric scheme, bit-identical to the historical path."""
     pad = node.size // 2 if node.pad else 0
     if prequantized:
         xq = x_or_q
     else:
-        xq = jnp.clip(jnp.round(x_or_q.astype(jnp.float32) * (1.0 / sx)),
-                      -127, 127).astype(jnp.int8)
+        xq = _quantize_affine(x_or_q, sx, zx)
+    if zx and pad:
+        xq = jnp.pad(xq, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                     constant_values=np.int8(zx))
+        pad = 0
     y = lax.conv_general_dilated(
         xq, qp["wq"], (node.stride, node.stride), [(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
-    return y.astype(jnp.float32) * (qp["sw"] * jnp.float32(sx)) + qp["b"]
+    y32 = y.astype(jnp.float32)
+    if zx:
+        wsum = jnp.sum(qp["wq"].astype(jnp.int32), axis=(0, 1, 2))
+        y32 = y32 - jnp.float32(zx) * wsum.astype(jnp.float32)
+    return y32 * (qp["sw"] * jnp.float32(sx)) + qp["b"]
 
 
 def _conv_stem_int8(x: jax.Array, node: Node, qp) -> jax.Array:
@@ -227,6 +243,25 @@ def _quantize_to(y: jax.Array, scale) -> jax.Array:
                     -127, 127).astype(jnp.int8)
 
 
+def _quantize_affine(y: jax.Array, scale, zero: int = 0) -> jax.Array:
+    """``q = clip(round(y/s) + z, ±127)`` — the affine quantize site.
+    ``z = 0`` reduces to :func:`_quantize_to` exactly (same clip range);
+    nonzero ``z`` centers the int8 range on the calibrated activation
+    range instead of on zero (one-sided LeakyReLU activations waste
+    ~half the symmetric range — see BASELINE.md round-5 error budget)."""
+    q = jnp.round(y.astype(jnp.float32) * (1.0 / scale))
+    if zero:
+        q = q + jnp.float32(zero)
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+def _dequantize_affine(q: jax.Array, scale, zero: int = 0) -> jax.Array:
+    f = q.astype(jnp.float32)
+    if zero:
+        f = f - jnp.float32(zero)
+    return f * scale
+
+
 def _maxpool_int8(x: jax.Array, node: Node) -> jax.Array:
     """int8 maxpool — max is monotone, so pooling quantized values in the
     producer's scale is EXACT vs pooling then quantizing."""
@@ -244,7 +279,8 @@ def forward_features_int8_carrier(
         precision: Optional[str] = "bf16",
         upto: Optional[int] = None,
         stop_before_heads: bool = False,
-        block_impl: str = "xla") -> List[jax.Array]:
+        block_impl: str = "xla",
+        tensor_zeros: Optional[Dict[int, int]] = None) -> List[jax.Array]:
     """int8 graph walk with an **int8 activation carrier** (round 2).
 
     The bf16-carrier walk (:func:`forward_features_int8`) quantizes each
@@ -292,8 +328,22 @@ def forward_features_int8_carrier(
     layout, paying one pad copy per stage instead of per block. Blocks
     that don't fit the kernel (channel alignment, VMEM, non-int8 input)
     fall back to this walk's unfused ops node by node.
+
+    ``tensor_zeros``: node index → zero-point for the ASYMMETRIC activation
+    scheme (``quantize_int8(act_scheme="asymmetric")``, calibrated by
+    :func:`calibrate_tensors_affine`). The carrier then travels as
+    ``("q", int8, scale, zero)`` with ``x = s·(q − z)``; conv zero-point
+    terms fold into epilogues (:func:`_conv_int8_core`), pass-through ops
+    carry (s, z) unchanged, joins dequantize with the affine form. ``None``
+    (default) is the symmetric scheme — z ≡ 0, bit-identical numerics.
+    The fused-block kernel implements the symmetric quantization contract
+    only, so nonzero zero-points force ``block_impl="xla"``.
     """
     prec = _PRECISIONS[precision]
+    zof = ((lambda i: tensor_zeros.get(i, 0)) if tensor_zeros
+           else (lambda i: 0))
+    if tensor_zeros and any(tensor_zeros.values()):
+        block_impl = "xla"  # pallas_block mimics the SYMMETRIC quant sites
     needed = graph.needed_outputs
     cons = consumers_of(graph)
     carrier_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
@@ -330,7 +380,7 @@ def forward_features_int8_carrier(
         # (accuracy loss for zero traffic gain on that edge)
         return bool(cs) and all(q_friendly[c.index] for c in cs)
 
-    # values: ("q", int8 array, scale) or ("f", carrier array)
+    # values: ("q", int8 array, scale, zero) or ("f", carrier array)
     head_convs = ({yn.inputs[0] for yn in graph.yolo_nodes}
                   if stop_before_heads else frozenset())
     cache: Dict[int, tuple] = {}
@@ -340,7 +390,7 @@ def forward_features_int8_carrier(
     def as_f(v) -> jax.Array:
         if v[0] == "f":
             return v[1]
-        return (v[1].astype(jnp.float32) * v[2]).astype(carrier_dtype)
+        return _dequantize_affine(v[1], v[2], v[3]).astype(carrier_dtype)
 
     bplan: Dict[int, Dict] = {}
     if block_impl == "pallas":
@@ -387,7 +437,7 @@ def forward_features_int8_carrier(
                 s_mid=tensor_scales[ai], s_mid2=tensor_scales[ai + 1],
                 s_out=s_out, emit_q=eq, carrier_dtype=carrier_dtype)
             sliced = pblk.slice_chain_output(xp, hh, ww)
-            val = ("q", sliced, s_out) if eq else ("f", sliced)
+            val = ("q", sliced, s_out, 0) if eq else ("f", sliced)
             if (ai + 2) in needed:
                 cache[ai + 2] = val
             s_cur = s_out
@@ -418,15 +468,16 @@ def forward_features_int8_carrier(
                     y = _conv_stem_int8(x, node, qp)
                 elif prev[0] == "q":
                     y = _conv_int8_core(prev[1], node, qp, prev[2],
-                                        prequantized=True)
+                                        prequantized=True, zx=prev[3])
                 else:
                     y = _conv_int8_core(as_f(prev), node, qp,
                                         tensor_scales[node.inputs[0]],
-                                        prequantized=False)
+                                        prequantized=False,
+                                        zx=zof(node.inputs[0]))
                 y = _activate(y, node.activation)
                 if want_q(node):
-                    out = ("q", _quantize_to(y, tensor_scales[node.index]),
-                           tensor_scales[node.index])
+                    s, z = tensor_scales[node.index], zof(node.index)
+                    out = ("q", _quantize_affine(y, s, z), s, z)
                 else:
                     out = ("f", y.astype(carrier_dtype))
             else:
@@ -437,42 +488,44 @@ def forward_features_int8_carrier(
                     # consumer is quantized): quantize in the epilogue —
                     # skips the consumer-side quantize pass AND the bf16
                     # rounding, and halves the activation's HBM traffic
-                    s = tensor_scales[node.index]
-                    out = ("q", _quantize_to(y, s), s)
+                    s, z = tensor_scales[node.index], zof(node.index)
+                    out = ("q", _quantize_affine(y, s, z), s, z)
                 else:
                     out = ("f", y)
         elif node.kind == "maxpool":
             if prev[0] == "q":
-                out = ("q", _maxpool_int8(prev[1], node), prev[2])
+                out = ("q", _maxpool_int8(prev[1], node), prev[2], prev[3])
             else:
                 out = ("f", _maxpool(prev[1], node))
         elif node.kind == "upsample":
             if prev[0] == "q":
-                out = ("q", _upsample_nearest(prev[1], node.stride), prev[2])
+                out = ("q", _upsample_nearest(prev[1], node.stride),
+                       prev[2], prev[3])
             else:
                 out = ("f", _upsample_nearest(prev[1], node.stride))
         elif node.kind == "shortcut":
             a, b = prev, cache[node.inputs[1]]
-            y = (a[1].astype(jnp.float32) * a[2] if a[0] == "q"
+            y = (_dequantize_affine(a[1], a[2], a[3]) if a[0] == "q"
                  else a[1].astype(jnp.float32))
-            y = y + (b[1].astype(jnp.float32) * b[2] if b[0] == "q"
+            y = y + (_dequantize_affine(b[1], b[2], b[3]) if b[0] == "q"
                      else b[1].astype(jnp.float32))
             y = _activate(y, node.activation)
             if want_q(node):
-                s = tensor_scales[node.index]
-                out = ("q", _quantize_to(y, s), s)
+                s, z = tensor_scales[node.index], zof(node.index)
+                out = ("q", _quantize_affine(y, s, z), s, z)
             else:
                 out = ("f", y.astype(carrier_dtype))
         elif node.kind == "route":
             srcs = [prev if i == node.index - 1 else cache[i]
                     for i in node.inputs]
             if len(srcs) == 1:
-                out = srcs[0]  # scale rides along, no requantize
+                out = srcs[0]  # scale/zero ride along, no requantize
             elif want_q(node) and all(v[0] == "q" for v in srcs):
-                s = tensor_scales[node.index]
-                parts = [_quantize_to(v[1].astype(jnp.float32) * v[2], s)
-                         for v in srcs]
-                out = ("q", jnp.concatenate(parts, axis=-1), s)
+                s, z = tensor_scales[node.index], zof(node.index)
+                parts = [_quantize_affine(
+                    _dequantize_affine(v[1], v[2], v[3]), s, z)
+                    for v in srcs]
+                out = ("q", jnp.concatenate(parts, axis=-1), s, z)
             else:
                 out = ("f", jnp.concatenate([as_f(v) for v in srcs],
                                             axis=-1))
@@ -552,13 +605,16 @@ def forward_compact_int8(graph: Graph, qparams, scales, x,
                          precision: Optional[str] = "bf16",
                          decode_impl: str = "xla",
                          carrier: str = "bf16",
-                         block_impl: str = "xla"):
+                         block_impl: str = "xla",
+                         zeros: Optional[Dict[int, int]] = None):
     """int8 serving forward → (boxes, scores, classes), compact decode.
 
     ``carrier="int8"`` runs the int8-activation-carrier walk (``scales``
     must then be per-TENSOR scales from :func:`calibrate_tensors`);
     ``carrier="bf16"`` is the per-conv-input-quantize walk (``scales`` from
-    :func:`calibrate`)."""
+    :func:`calibrate`). ``zeros``: per-tensor zero-points for the
+    asymmetric scheme (int8 carrier only — see
+    :func:`calibrate_tensors_affine`)."""
     if decode_impl == "pallas":
         from .model import pad_head_params
         from .ops.pallas_decode import decode_compact_pallas as _decode
@@ -570,7 +626,8 @@ def forward_compact_int8(graph: Graph, qparams, scales, x,
     if carrier == "int8":
         heads = forward_features_int8_carrier(graph, qparams, scales, x,
                                               precision,
-                                              block_impl=block_impl)
+                                              block_impl=block_impl,
+                                              tensor_zeros=zeros)
     else:
         heads = forward_features_int8(graph, qparams, scales, x, precision)
     yolo_nodes = graph.yolo_nodes
@@ -582,7 +639,8 @@ def forward_compact_int8(graph: Graph, qparams, scales, x,
 def forward_packed_int8(graph: Graph, qparams, scales, x, prob_thresh: float,
                         precision: Optional[str] = "bf16",
                         carrier: str = "bf16",
-                        block_impl: str = "xla"):
+                        block_impl: str = "xla",
+                        zeros: Optional[Dict[int, int]] = None):
     """int8 serving forward → (payload (B, N, 8), scores (B, N)) for
     ``ops.nms.batched_nms_packed`` (see ``model.forward_packed``)."""
     from .model import pad_head_params
@@ -592,7 +650,8 @@ def forward_packed_int8(graph: Graph, qparams, scales, x, prob_thresh: float,
     if carrier == "int8":
         heads = forward_features_int8_carrier(graph, qparams, scales, x,
                                               precision,
-                                              block_impl=block_impl)
+                                              block_impl=block_impl,
+                                              tensor_zeros=zeros)
     else:
         heads = forward_features_int8(graph, qparams, scales, x, precision)
     yolo_nodes = graph.yolo_nodes
@@ -605,7 +664,8 @@ def forward_packed_fused_int8(graph: Graph, qparams, scales, x,
                               prob_thresh: float,
                               precision: Optional[str] = "bf16",
                               carrier: str = "int8",
-                              block_impl: str = "xla"):
+                              block_impl: str = "xla",
+                              zeros: Optional[Dict[int, int]] = None):
     """``forward_packed_int8`` with the 1×1 head convs FUSED into the
     decode kernel (``ops.pallas_decode.decode_packed_head_fused_pallas``):
     the int8-carrier walk stops at each pre-head activation (dequantized
@@ -627,7 +687,8 @@ def forward_packed_fused_int8(graph: Graph, qparams, scales, x,
     qparams = pad_head_params(graph, qparams)
     pre = forward_features_int8_carrier(graph, qparams, scales, x,
                                         precision, stop_before_heads=True,
-                                        block_impl=block_impl)
+                                        block_impl=block_impl,
+                                        tensor_zeros=zeros)
     yolo_nodes = graph.yolo_nodes
     ws, bs = [], []
     for yn in yolo_nodes:
@@ -773,6 +834,64 @@ def calibrate_tensors(graph: Graph, params, batches,
     return {i: max(m, 1e-6) / 127.0 for i, m in agg.items()}
 
 
+def calibrate_tensors_affine(graph: Graph, params, batches,
+                             precision: Optional[str] = "bf16",
+                             method: str = "minmax",
+                             percentile: float = 99.9):
+    """Per-tensor AFFINE calibration for ``act_scheme="asymmetric"``:
+    records every node output's (min, max) range over the calibration set
+    and maps it onto the int8 carrier as ``x = s·(q − z)`` with
+    ``s = (hi − lo)/254`` and the zero-point ``z`` placed so lo ↦ −127,
+    hi ↦ +127 and **x = 0 stays exactly representable** (the range always
+    includes 0 — padding and ReLU-family zeros must quantize exactly).
+    Returns ``(scales, zeros)``: {node index: s}, {node index: int z}.
+
+    One-sided tensors (LeakyReLU outputs: lo ≈ −0.1·hi) nearly double
+    their effective resolution vs the symmetric scheme, which spends half
+    its range on values that never occur — measured error budget in
+    BASELINE.md round-5. ``method="percentile"`` clips the range to the
+    two-sided (100−q, q) percentiles (max-aggregated across batches like
+    :func:`_make_stat_fn`); ``"minmax"`` is the absmax analogue.
+    """
+    if method == "minmax":
+        lo_stat = lambda t: jnp.min(t)          # noqa: E731
+        hi_stat = lambda t: jnp.max(t)          # noqa: E731
+    elif method == "percentile":
+        if not 0.0 < percentile <= 100.0:
+            raise ValueError(f"percentile must be in (0, 100], "
+                             f"got {percentile}")
+        lo_stat = lambda t: jnp.percentile(t, 100.0 - percentile)  # noqa: E731
+        hi_stat = lambda t: jnp.percentile(t, percentile)          # noqa: E731
+    else:
+        raise ValueError(f"unknown affine calibration method {method!r} "
+                         "(expected 'minmax' or 'percentile')")
+
+    def range_pass(params, x):
+        acc = {}
+
+        def visit(node, inp, out):
+            f = out.astype(jnp.float32)
+            acc[node.index] = (lo_stat(f), hi_stat(f))
+
+        _calibration_walk(graph, params, x, precision, visit)
+        return acc
+
+    run = jax.jit(range_pass)
+    agg: Dict[int, tuple] = {}
+    for x in batches:
+        for i, (lo, hi) in run(params, jnp.asarray(x)).items():
+            plo, phi = agg.get(i, (np.inf, -np.inf))
+            agg[i] = (min(plo, float(lo)), max(phi, float(hi)))
+    scales: Dict[int, float] = {}
+    zeros: Dict[int, int] = {}
+    for i, (lo, hi) in agg.items():
+        lo, hi = min(lo, 0.0), max(hi, 0.0)
+        s = max(hi - lo, 1e-6) / 254.0
+        scales[i] = s
+        zeros[i] = int(np.clip(round(-127.0 - lo / s), -127, 127))
+    return scales, zeros
+
+
 def _input_scale(graph: Graph, node: Node, scales: Dict[int, float],
                  carrier: str) -> float:
     """The activation scale a quantized conv's input is rounded with.
@@ -788,19 +907,22 @@ def _input_scale(graph: Graph, node: Node, scales: Dict[int, float],
 def collect_input_stats(graph: Graph, params, scales: Dict[int, float],
                         conv_indices, batches, carrier: str = "int8",
                         precision: Optional[str] = "bf16",
+                        zeros: Optional[Dict[int, int]] = None,
                         ) -> Dict[int, tuple]:
     """Per-channel input statistics for :func:`bias_correct`.
 
     For each conv in ``conv_indices`` returns ``(mu, eps)`` — both (C_in,)
     float64 — where ``mu`` is the mean of the conv's float input per channel
     over the calibration set (batch × spatial), and ``eps`` the mean
-    quantization residual ``x − s·clip(round(x/s))`` under the scale the
-    int8 pipeline actually rounds that input with (:func:`_input_scale`).
+    quantization residual ``x − dequant(quant(x))`` under the scale (and,
+    for the asymmetric scheme, zero-point — ``zeros``) the int8 pipeline
+    actually rounds that input with (:func:`_input_scale`).
     The stem conv's exact-u8 representation has scale 1/255 and no clipping
     (preprocessed pixels live in [0, 1]), so its residual is pure resize
     rounding, ≤ 0.5/255.
     """
     wanted = frozenset(conv_indices)
+    zof = ((lambda i: zeros.get(i, 0)) if zeros else (lambda i: 0))
 
     def stats_pass(params, x):
         acc = {}
@@ -813,7 +935,8 @@ def collect_input_stats(graph: Graph, params, scales: Dict[int, float],
                 deq = jnp.round(f * 255.0) * (1.0 / 255.0)
             else:
                 s = jnp.float32(_input_scale(graph, node, scales, carrier))
-                deq = jnp.clip(jnp.round(f / s), -127, 127) * s
+                z = zof(node.inputs[0]) if carrier == "int8" else 0
+                deq = _dequantize_affine(_quantize_affine(f, s, z), s, z)
             acc[node.index] = (
                 jnp.sum(f, axis=(0, 1, 2)),
                 jnp.sum(f - deq, axis=(0, 1, 2)),
@@ -838,7 +961,8 @@ def collect_input_stats(graph: Graph, params, scales: Dict[int, float],
 
 def bias_correct(graph: Graph, params, qparams, scales: Dict[int, float],
                  batches, carrier: str = "int8",
-                 precision: Optional[str] = "bf16"):
+                 precision: Optional[str] = "bf16",
+                 zeros: Optional[Dict[int, int]] = None):
     """DFQ-style post-training bias correction (Nagel et al., arXiv
     1906.04721 §4 — standard PTQ; technique reference only, no reference-repo
     counterpart: the torch baseline has no quantization at all).
@@ -865,7 +989,8 @@ def bias_correct(graph: Graph, params, qparams, scales: Dict[int, float],
     idx = [n.index for n in graph.conv_nodes
            if "wq" in qparams.get(n.index, {})]
     stats = collect_input_stats(graph, params, scales, idx, batches,
-                                carrier=carrier, precision=precision)
+                                carrier=carrier, precision=precision,
+                                zeros=zeros)
     out = dict(qparams)
     for i in idx:
         qp = qparams[i]

@@ -503,6 +503,10 @@ def main(argv=None):
     ap.add_argument("--no-bias-correct", action="store_true",
                     help="skip the default DFQ-style bias correction after "
                          "--quantize-int8 (see the main CLI)")
+    ap.add_argument("--act-scheme", choices=("symmetric", "asymmetric"),
+                    default="symmetric",
+                    help="activation quantization scheme for "
+                         "--quantize-int8 (see the main CLI)")
     ap.add_argument("--quant-state", metavar="PATH", default=None,
                     help="int8 quantization-state cache (npz): load if PATH "
                          "exists — a serving restart then skips calibration "
@@ -569,7 +573,8 @@ def main(argv=None):
                           net_hw=net_hw,
                           calib_method=args.calib_method,
                           calib_percentile=args.calib_percentile,
-                          bias_correct=not args.no_bias_correct)
+                          bias_correct=not args.no_bias_correct,
+                          act_scheme=args.act_scheme)
         if args.quant_state:
             net.save_quantized(args.quant_state)
     elif args.quant_state:
