@@ -29,7 +29,8 @@ DATA = Path(__file__).parent / "data"
 
 
 @pytest.mark.parametrize("fixture", ["golden_tiny.json",
-                                     "golden_yolov3.json"])
+                                     "golden_yolov3.json",
+                                     "golden_spp.json"])
 def test_golden_detections(fixture):
     golden = json.loads((DATA / fixture).read_text())
 

@@ -808,18 +808,27 @@ def test_affine_calibration_properties(setup):
     assert sum(1 for z in zeros.values() if z < -64) > len(zeros) // 2
 
 
-def test_asymmetric_conv_core_algebra(setup):
+@pytest.mark.parametrize("cfg_name,pick", [
+    ("yolov3-tiny", "s1"),   # 3×3 stride-1: all four border strips + corners
+    ("yolov3", "s2"),        # 3×3 stride-2 downsample: top/left deficits only
+])
+def test_asymmetric_conv_core_algebra(setup, cfg_paths, cfg_name, pick):
     """_conv_int8_core's zero-point fold: conv on the affine carrier must
     equal the real-arithmetic conv of the DEQUANTIZED input with the
-    dequantized weights — the z·Σwq epilogue constant and the explicit
-    q = z padding are an identity, not an approximation."""
+    dequantized weights — the z·Σwq epilogue constant and the border-ring
+    strip repair (_zp_border_repair) are an identity, not an
+    approximation, at both darknet conv geometries (stride 1 and the
+    stride-2 downsamples)."""
     from jax import lax
 
     from yolov3_tpu.quant import (_conv_int8_core, _dequantize_affine,
                                   _quantize_affine)
 
-    g, params, _ = setup
-    node = [n for n in g.conv_nodes if eligible(g, n)][0]
+    g = load_graph(cfg_paths[cfg_name])
+    params = jax.tree.map(jnp.asarray, fold_raw(random_raw(g, seed=3)))
+    want_stride = 1 if pick == "s1" else 2
+    node = [n for n in g.conv_nodes
+            if eligible(g, n) and n.size == 3 and n.stride == want_stride][0]
     q = quantize_weights(g, params)
     qp = q[node.index]
     rng = np.random.default_rng(5)

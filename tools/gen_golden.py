@@ -78,6 +78,9 @@ SCORE_ATOL = 5e-5  # keep in sync with tests/test_golden.py
 FIXTURES = {
     "tiny": ("yolov3-tiny.cfg", 416, 1.0, 16),
     "yolov3": ("yolov3.cfg", 320, 0.9, 24),
+    # spp pins the 4-way SPP route + 5/9/13 maxpool chain — the one
+    # structural feature the other two fixtures don't cover
+    "spp": ("yolov3-spp.cfg", 320, 0.9, 24),
 }
 
 

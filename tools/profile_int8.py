@@ -47,12 +47,16 @@ def main():
     ap.add_argument("--top-k", type=int, default=512)
     ap.add_argument("--int8-heads", action="store_true",
                     help="quantize the no-BN head projections too")
+    ap.add_argument("--act-scheme", choices=("symmetric", "asymmetric"),
+                    default="symmetric",
+                    help="activation quantization scheme (round 5)")
     args = ap.parse_args()
     enable_compile_cache()
     lens = tuple(int(v) for v in args.lens.split(","))
 
     from yolov3_tpu.ops.nms import _select_pairmax_payload, batched_nms_packed
     from yolov3_tpu.quant import (calibrate_tensors,
+                                  calibrate_tensors_affine,
                                   forward_features_int8_carrier,
                                   forward_packed_int8, quantize_weights)
 
@@ -63,7 +67,12 @@ def main():
     rng = np.random.default_rng(3)
     calib = [preprocess(jnp.asarray(
         rng.integers(0, 256, (8, *net_hw, 3), dtype=np.uint8)), net_hw)]
-    scales = calibrate_tensors(g, params, calib, precision="bf16")
+    zeros = None
+    if args.act_scheme == "asymmetric":
+        scales, zeros = calibrate_tensors_affine(g, params, calib,
+                                                 precision="bf16")
+    else:
+        scales = calibrate_tensors(g, params, calib, precision="bf16")
     qparams = jax.device_put(quantize_weights(
         g, params, include_heads=args.int8_heads))
 
@@ -94,26 +103,27 @@ def main():
     for upto in marks:
         def walk(xc, u=upto):
             return tuple(forward_features_int8_carrier(
-                g, qparams, scales, xc, "bf16", upto=u))
+                g, qparams, scales, xc, "bf16", upto=u,
+                tensor_zeros=zeros))
         run_mark(f"conv walk [0:{upto})", walk)
 
     def with_decode(xc):
         return forward_packed_int8(
             g, qparams, scales, xc, prob_thresh=args.prob_thresh,
-            precision="bf16", carrier="int8")
+            precision="bf16", carrier="int8", zeros=zeros)
     run_mark("+ packed decode", with_decode)
 
     def with_selection(xc):
         payload, scores = forward_packed_int8(
             g, qparams, scales, xc, prob_thresh=args.prob_thresh,
-            precision="bf16", carrier="int8")
+            precision="bf16", carrier="int8", zeros=zeros)
         return _select_pairmax_payload(payload, scores, args.top_k)
     run_mark("+ pair-max selection", with_selection)
 
     def full(xc):
         payload, scores = forward_packed_int8(
             g, qparams, scales, xc, prob_thresh=args.prob_thresh,
-            precision="bf16", carrier="int8")
+            precision="bf16", carrier="int8", zeros=zeros)
         return tuple(batched_nms_packed(payload, scores, top_k=args.top_k))
     run_mark("+ suppression (full step)", full)
 

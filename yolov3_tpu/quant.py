@@ -179,30 +179,112 @@ def _conv_int8_core(x_or_q, node: Node, qp, sx: float,
 
     ``zx`` is the input tensor's zero-point (asymmetric activation scheme,
     ``act_scheme="asymmetric"``): the input represents ``x = sx·(q − zx)``,
-    so ``conv(x) = sx·(conv(q) − zx·Σ_taps wq)`` — the Σ term is a
-    per-output-channel CONSTANT folded in the epilogue (XLA constant-folds
-    ``wsum``), exactly the stem's zero-point algebra generalized to a
-    calibrated zx. Padding must then carry ``q = zx`` (≡ x = 0), so the
-    pad happens explicitly in the quantized domain. ``zx = 0`` is the
-    symmetric scheme, bit-identical to the historical path."""
+    so with implicit zero padding
+
+        conv(x)[p] = sx·(conv(q)[p] − zx·(Σ_all wq − deficit[p]))
+
+    where ``deficit[p] = Σ_out-of-bounds-taps wq`` is nonzero only on the
+    1-pixel pad-border ring (k ≤ 3, pad ≤ 1 in every darknet graph). The
+    global ``zx·Σwq`` term is a per-channel vector fused into the
+    epilogue for free; the ring is repaired with thin static-slice
+    updates (4 strips built from per-channel deficit vectors — O((H+W)·C)
+    elements, ~2% of the tensor at 152²). Cheaper formulations that
+    touch the full tensor measure −26% e2e @608 (explicit ``q = zx``
+    input pad 968.5 img/s, full deficit-map subtract 979.5 vs symmetric
+    1315.8 — BASELINE.md round-5): qparams are traced jit arguments, so
+    a (H, W, C) correction map is real per-step HBM traffic, not a
+    foldable constant. ``zx = 0`` is the symmetric scheme, bit-identical
+    to the historical path."""
     pad = node.size // 2 if node.pad else 0
     if prequantized:
         xq = x_or_q
     else:
         xq = _quantize_affine(x_or_q, sx, zx)
-    if zx and pad:
-        xq = jnp.pad(xq, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
-                     constant_values=np.int8(zx))
-        pad = 0
+    dn = ("NHWC", "HWIO", "NHWC")
+    wq = qp["wq"]
     y = lax.conv_general_dilated(
-        xq, qp["wq"], (node.stride, node.stride), [(pad, pad), (pad, pad)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32)
+        xq, wq, (node.stride, node.stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=dn, preferred_element_type=jnp.int32)
     y32 = y.astype(jnp.float32)
+    scale = qp["sw"] * jnp.float32(sx)
+    b = qp["b"]
     if zx:
-        wsum = jnp.sum(qp["wq"].astype(jnp.int32), axis=(0, 1, 2))
-        y32 = y32 - jnp.float32(zx) * wsum.astype(jnp.float32)
-    return y32 * (qp["sw"] * jnp.float32(sx)) + qp["b"]
+        # fold z·Σwq into the BIAS vector (per-channel, same fused
+        # epilogue shape as the symmetric path — an extra big-tensor
+        # subtract instead measured −26% e2e, see the docstring)
+        w32 = wq.astype(jnp.float32)
+        z = jnp.float32(zx)
+        b = b - z * scale * jnp.sum(w32, axis=(0, 1, 2))
+        y32 = y32 + z * _zp_border_deficit(w32, node, pad,
+                                           y32.shape[1], y32.shape[2],
+                                           xq.shape[1], xq.shape[2])
+    return y32 * scale + b
+
+
+def _zp_border_deficit(w32: jax.Array, node: Node, pad: int,
+                       hp: int, wp: int, h_in: int, w_in: int) -> jax.Array:
+    """The ``deficit[p]`` map of _conv_int8_core as a FUSABLE broadcast
+    expression: outer products of 1-D edge masks (iota comparisons) with
+    per-channel tap-row sums, corners corrected by inclusion–exclusion.
+    Nothing materializes — the whole map stays elementwise inside the conv
+    epilogue fusion (thin static-slice ``.at[].add`` updates instead
+    copied the full tensor per update: measured 823.6 vs symmetric
+    1315.8 img/s @608; this form restores fusion).
+
+    Per output row index i, tap row ``kh`` is out of bounds iff
+    ``i·s − pad + kh`` falls outside the input; for the darknet geometry
+    (k ≤ 3, pad ≤ 1, stride ≤ 2) only the first and last output rows/cols
+    can be deficient — asserted, not assumed."""
+    k, s = node.size, node.stride
+    # first/last row|col must be distinct cells (1×1 outputs would apply
+    # both edge fixes to the same cell) — no darknet shape gets near this
+    assert k == 1 or (hp >= 2 and wp >= 2), (hp, wp)
+
+    def miss(n_out: int, n_in: int, edge: str) -> np.ndarray:
+        idx = 0 if edge == "lo" else n_out - 1
+        out = [kk for kk in range(k)
+               if not 0 <= idx * s - pad + kk < n_in]
+        return np.asarray(out, np.int32)
+
+    m_top, m_bot = miss(hp, h_in, "lo"), miss(hp, h_in, "hi")
+    m_left, m_right = miss(wp, w_in, "lo"), miss(wp, w_in, "hi")
+    # interior rows/cols must be complete (ring width 1); a graph
+    # violating it must extend this repair, not silently skip it
+    for n_out, n_in in ((hp, h_in), (wp, w_in)):
+        for idx in range(1, n_out - 1):
+            assert 0 <= idx * s - pad and idx * s - pad + k - 1 < n_in, \
+                "zero-point border repair: ring wider than 1 output px"
+
+    def edge_mask(n: int, at_end: bool) -> jax.Array:
+        i = lax.iota(jnp.float32, n)
+        return (i == (n - 1)).astype(jnp.float32) if at_end \
+            else (i == 0).astype(jnp.float32)
+
+    def kh_sum(m_kh) -> jax.Array:                      # (C,)
+        return jnp.sum(w32[m_kh], axis=(0, 1, 2))
+
+    def kw_sum(m_kw) -> jax.Array:
+        return jnp.sum(w32[:, m_kw], axis=(0, 1, 2))
+
+    def inter(m_kh, m_kw) -> jax.Array:
+        return jnp.sum(w32[m_kh][:, m_kw], axis=(0, 1, 2))
+
+    corr = jnp.zeros((1, 1, 1, w32.shape[3]), jnp.float32)
+    rows = [(m_top, edge_mask(hp, False)), (m_bot, edge_mask(hp, True))]
+    cols = [(m_left, edge_mask(wp, False)), (m_right, edge_mask(wp, True))]
+    for m_kh, rmask in rows:
+        if m_kh.size:
+            corr = corr + rmask[None, :, None, None] * kh_sum(m_kh)
+    for m_kw, cmask in cols:
+        if m_kw.size:
+            corr = corr + cmask[None, None, :, None] * kw_sum(m_kw)
+    for m_kh, rmask in rows:
+        for m_kw, cmask in cols:
+            if m_kh.size and m_kw.size:
+                corr = corr - (rmask[None, :, None, None]
+                               * cmask[None, None, :, None]
+                               * inter(m_kh, m_kw))
+    return corr
 
 
 def _conv_stem_int8(x: jax.Array, node: Node, qp) -> jax.Array:
@@ -244,22 +326,42 @@ def _quantize_to(y: jax.Array, scale) -> jax.Array:
 
 
 def _quantize_affine(y: jax.Array, scale, zero: int = 0) -> jax.Array:
-    """``q = clip(round(y/s) + z, ±127)`` — the affine quantize site.
-    ``z = 0`` reduces to :func:`_quantize_to` exactly (same clip range);
-    nonzero ``z`` centers the int8 range on the calibrated activation
-    range instead of on zero (one-sided LeakyReLU activations waste
-    ~half the symmetric range — see BASELINE.md round-5 error budget)."""
-    q = jnp.round(y.astype(jnp.float32) * (1.0 / scale))
+    """``q = clip(round(y/s + z), ±127)`` — the affine quantize site.
+    For INTEGER z, ``round(y/s + z) ≡ round(y/s) + z`` (up to f32 ties),
+    so the zero-point rides the same multiply-add the symmetric site
+    compiles to — op-count parity with :func:`_quantize_to` matters: one
+    extra elementwise op at the quantize sites measured ~+30 ms/step
+    @608 b128 (BASELINE.md round-5). ``z = 0`` reduces to the symmetric
+    site exactly; nonzero ``z`` centers the int8 range on the calibrated
+    activation range instead of on zero."""
+    f = y.astype(jnp.float32) * (1.0 / scale)
     if zero:
-        q = q + jnp.float32(zero)
-    return jnp.clip(q, -127, 127).astype(jnp.int8)
+        f = f + jnp.float32(zero)
+    return jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8)
 
 
 def _dequantize_affine(q: jax.Array, scale, zero: int = 0) -> jax.Array:
-    f = q.astype(jnp.float32)
+    """``x = s·q − s·z`` — the constant product folds host-side so the
+    dequant is a single fused multiply-add (see :func:`_quantize_affine`
+    on why op-count parity matters)."""
+    f = q.astype(jnp.float32) * scale
     if zero:
-        f = f - jnp.float32(zero)
-    return f * scale
+        f = f - jnp.float32(zero * scale)
+    return f
+
+
+def _requantize_affine(q: jax.Array, s_in: float, z_in: int,
+                       s_out: float, z_out: int) -> jax.Array:
+    """Fused dequant→quant: ``clip(round(q·(s_in/s_out) + c))`` with
+    ``c = z_out − z_in·s_in/s_out`` folded host-side — ONE multiply-add
+    regardless of zero-points (a dequant + quant pair is two extra
+    elementwise ops on a full tensor; see :func:`_quantize_affine`)."""
+    r = s_in / s_out
+    c = float(z_out) - float(z_in) * r
+    f = q.astype(jnp.float32) * jnp.float32(r)
+    if c:
+        f = f + jnp.float32(c)
+    return jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8)
 
 
 def _maxpool_int8(x: jax.Array, node: Node) -> jax.Array:
@@ -505,10 +607,20 @@ def forward_features_int8_carrier(
                 out = ("f", _upsample_nearest(prev[1], node.stride))
         elif node.kind == "shortcut":
             a, b = prev, cache[node.inputs[1]]
-            y = (_dequantize_affine(a[1], a[2], a[3]) if a[0] == "q"
-                 else a[1].astype(jnp.float32))
-            y = y + (_dequantize_affine(b[1], b[2], b[3]) if b[0] == "q"
-                     else b[1].astype(jnp.float32))
+            # fold both operands' zero-point constants into ONE subtract
+            # (z·s terms combine host-side — op-count parity with the
+            # symmetric join matters, see _quantize_affine)
+            zc = 0.0
+            terms = []
+            for v in (a, b):
+                if v[0] == "q":
+                    terms.append(v[1].astype(jnp.float32) * v[2])
+                    zc += float(v[3]) * v[2]
+                else:
+                    terms.append(v[1].astype(jnp.float32))
+            y = terms[0] + terms[1]
+            if zc:
+                y = y - jnp.float32(zc)
             y = _activate(y, node.activation)
             if want_q(node):
                 s, z = tensor_scales[node.index], zof(node.index)
@@ -522,9 +634,16 @@ def forward_features_int8_carrier(
                 out = srcs[0]  # scale/zero ride along, no requantize
             elif want_q(node) and all(v[0] == "q" for v in srcs):
                 s, z = tensor_scales[node.index], zof(node.index)
-                parts = [_quantize_affine(
-                    _dequantize_affine(v[1], v[2], v[3]), s, z)
-                    for v in srcs]
+                if tensor_zeros:
+                    # fused one-multiply-add requant (asymmetric only —
+                    # the symmetric two-multiply form below is pinned
+                    # bit-identical to the historical program)
+                    parts = [_requantize_affine(v[1], v[2], v[3], s, z)
+                             for v in srcs]
+                else:
+                    parts = [_quantize_affine(
+                        _dequantize_affine(v[1], v[2], v[3]), s, z)
+                        for v in srcs]
                 out = ("q", jnp.concatenate(parts, axis=-1), s, z)
             else:
                 out = ("f", jnp.concatenate([as_f(v) for v in srcs],
